@@ -1,0 +1,138 @@
+"""Atmosphere model and planets (component C10, SURVEY.md section 3).
+
+The reference (fedef17/SpectRobot ``spect_base_module.py`` [SURVEY.md 1.2])
+carries an atmospheric-profile class with interpolation plus Mars/Titan planet
+constants.  TPU-native design: :class:`Atmosphere` is a JAX pytree of flat
+arrays on a fixed altitude grid — static shapes, log-pressure interpolation as
+pure jnp, differentiable end-to-end (temperature and VMR profiles are inputs
+the retrieval differentiates through, SURVEY.md C15/C16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrobot_tpu.constants import K_BOLTZ, AMU
+
+
+@dataclasses.dataclass(frozen=True)
+class Planet:
+    name: str
+    radius_m: float        # mean radius [m]
+    g0: float              # surface gravity [m/s^2]
+    mu_amu: float          # mean molecular mass [amu]
+
+
+MARS = Planet("Mars", 3389.5e3, 3.711, 43.34)
+TITAN = Planet("Titan", 2574.7e3, 1.352, 28.0)
+EARTH = Planet("Earth", 6371.0e3, 9.80665, 28.9647)
+PLANETS: Dict[str, Planet] = {p.name.lower(): p for p in (MARS, TITAN, EARTH)}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Atmosphere:
+    """1-D atmosphere on a fixed altitude grid (level quantities).
+
+    Fields (all [n_lev], SI units):
+      z       altitude above surface [m]
+      p       pressure [Pa]
+      T       temperature [K]
+      n       total number density [m^-3]
+      vmr     volume mixing ratios, dict name -> [n_lev]
+    """
+
+    z: jnp.ndarray
+    p: jnp.ndarray
+    T: jnp.ndarray
+    n: jnp.ndarray
+    vmr: Dict[str, jnp.ndarray]
+
+    @property
+    def n_lev(self) -> int:
+        return int(self.z.shape[0])
+
+    def with_temperature(self, T_new: jnp.ndarray) -> "Atmosphere":
+        """Replace T and rehydrate density at fixed pressure (ideal gas).
+
+        Used by the retrieval when perturbing the temperature profile: p(z) is
+        held fixed (hydrostatic re-adjustment is second order for limb
+        weighting and is what single-profile retrievals conventionally do).
+        """
+        n_new = self.p / (K_BOLTZ * T_new)
+        return dataclasses.replace(self, T=T_new, n=n_new)
+
+    def with_vmr(self, name: str, vmr_new: jnp.ndarray) -> "Atmosphere":
+        vmr = dict(self.vmr)
+        vmr[name] = vmr_new
+        return dataclasses.replace(self, vmr=vmr)
+
+    # -- interpolation (log-p in altitude) ----------------------------------
+
+    def interp_T(self, z_q: jnp.ndarray) -> jnp.ndarray:
+        return jnp.interp(z_q, self.z, self.T)
+
+    def interp_logp(self, z_q: jnp.ndarray) -> jnp.ndarray:
+        return jnp.exp(jnp.interp(z_q, self.z, jnp.log(self.p)))
+
+    def interp_n(self, z_q: jnp.ndarray) -> jnp.ndarray:
+        return jnp.exp(jnp.interp(z_q, self.z, jnp.log(self.n)))
+
+    def interp_vmr(self, name: str, z_q: jnp.ndarray) -> jnp.ndarray:
+        return jnp.interp(z_q, self.z, self.vmr[name])
+
+
+def hydrostatic_atmosphere(
+    planet: Planet,
+    z: np.ndarray,
+    T_of_z,
+    p_surface: float,
+    vmr: Dict[str, np.ndarray],
+) -> Atmosphere:
+    """Build an atmosphere in hydrostatic equilibrium (host-side, numpy).
+
+    dp/dz = -p * mu g(z) / (k T(z)); integrated with midpoint stepping on the
+    given grid.  ``T_of_z`` is a callable T(z) or an array on ``z``.
+    """
+    z = np.asarray(z, dtype=np.float64)
+    T = np.asarray(T_of_z(z) if callable(T_of_z) else T_of_z, dtype=np.float64)
+    mu = planet.mu_amu * AMU
+    p = np.empty_like(z)
+    p[0] = p_surface
+    for i in range(1, z.shape[0]):
+        dz = z[i] - z[i - 1]
+        zm = 0.5 * (z[i] + z[i - 1])
+        g = planet.g0 * (planet.radius_m / (planet.radius_m + zm)) ** 2
+        Tm = 0.5 * (T[i] + T[i - 1])
+        H = K_BOLTZ * Tm / (mu * g)
+        p[i] = p[i - 1] * np.exp(-dz / H)
+    n = p / (K_BOLTZ * T)
+    return Atmosphere(
+        z=jnp.asarray(z), p=jnp.asarray(p), T=jnp.asarray(T), n=jnp.asarray(n),
+        vmr={k: jnp.asarray(np.broadcast_to(np.asarray(v, dtype=np.float64), z.shape).copy())
+             for k, v in vmr.items()},
+    )
+
+
+def mars_standard_atmosphere(n_lev: int = 51, z_top: float = 100e3) -> Atmosphere:
+    """A smooth Mars-like reference atmosphere (CO2-dominated) used by the
+    acceptance configs (BASELINE.json configs 2/3/5) and tests."""
+    z = np.linspace(0.0, z_top, n_lev)
+
+    def T_of_z(zz):
+        # Smooth profile: ~210 K surface, decreasing to ~140 K aloft with a
+        # mild mesospheric bump — representative of Mars daytime.
+        return 145.0 + 65.0 * np.exp(-zz / 35e3) + 8.0 * np.exp(-((zz - 70e3) / 12e3) ** 2)
+
+    vmr = {
+        "CO2": np.full(n_lev, 0.9532),
+        "CO": np.full(n_lev, 7.0e-4),
+        "H2O": 2.0e-4 * np.exp(-z / 20e3),
+        "N2": np.full(n_lev, 0.027),
+    }
+    return hydrostatic_atmosphere(MARS, z, T_of_z, p_surface=610.0, vmr=vmr)

@@ -1,0 +1,136 @@
+"""Multi-layer limb/nadir forward model (layer L3, SURVEY.md 2.2; C13).
+
+Assembles the full radiance pipeline of the reference's call stack 4.1
+(fedef17/SpectRobot ``radtran`` path) as one jit-able, differentiable tensor
+program: Curtis-Godson states -> per-(ray, layer) opacity line sums (stage-2
+kernel) -> segment gather -> cumulative-transmittance RT -> (optional) ILS.
+
+Design notes (TPU-first):
+* The (ray x layer) batch is a single vmap-of-vmap over the stage-2 kernel;
+  per-species CG states are scattered per line (see ops/opacity.py), so one
+  line-sum per (ray, layer) covers every species AND both non-LTE spectra.
+* The emission-to-absorption ratio forms the non-LTE source function
+  S_nu = B_nu(T_air) * k_em / k_abs (ops/planck.py derivation); in LTE the
+  ratio is exactly 1 and S_nu = B_nu.
+* Limb rays reuse one-side optical depths for both crossings (spherical
+  symmetry) — half the line-sum work of a naive per-segment evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from spectrobot_tpu.data.nlte import DeviceNLTE, weights_for_layer
+from spectrobot_tpu.forward.geometry import PathCG
+from spectrobot_tpu.forward.rt import radiance_along_ray
+from spectrobot_tpu.ops.opacity import accumulate_jnp, line_kernel_inputs
+from spectrobot_tpu.ops.planck import planck_nu
+from spectrobot_tpu.ops.strengths import DeviceLines
+
+
+class LayerOptics(NamedTuple):
+    dtau: jnp.ndarray     # [R, NL, P] one-crossing optical depth
+    source: jnp.ndarray   # [R, NL, P] source-function radiance
+
+
+def layer_tau(
+    nu_grid: jnp.ndarray,
+    lines: DeviceLines,
+    cg: PathCG,
+    nlte: Optional[DeviceNLTE] = None,
+    *,
+    variant: str = "humlicek4",
+    cutoff_cm1: Optional[float] = 25.0,
+    chunk: int = 256,
+):
+    """Raw per-(ray, layer) line sums: (dtau, dtau_em), each [R, NL, P].
+
+    These are LINEAR in the line list, so a line-sharded mesh can psum them
+    across the 'line' axis before the (nonlinear) source assembly — the
+    split that makes C23 line-parallelism exact (SURVEY.md C23).
+    """
+    R, NL, S = cg.u.shape
+    lay_ids = jnp.arange(NL, dtype=jnp.int32)
+
+    def one(u_sp, T_sp, p_sp, ps_sp, T_air, lay_idx):
+        sp = lines.species_idx
+        T_line = T_sp[sp]
+        p_line = p_sp[sp]
+        ps_line = ps_sp[sp]
+        u_line_cm2 = u_sp[sp] * 1.0e-4           # [L] molec cm^-2 (one side)
+        w_abs, w_em = weights_for_layer(nlte, lines, lay_idx, T_air)
+        amps = jnp.stack([w_abs * u_line_cm2, w_em * u_line_cm2])
+        kl = line_kernel_inputs(lines, T_line, p_line, ps_line, amps)
+        out = accumulate_jnp(nu_grid, kl, chunk=chunk, variant=variant,
+                             cutoff_cm1=cutoff_cm1)
+        return out[0], out[1]                    # dtau, "emission depth"
+
+    per_layer = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
+    per_ray = jax.vmap(per_layer, in_axes=(0, 0, 0, 0, 0, None))
+    return per_ray(cg.u, cg.T_sp, cg.p_sp, cg.p_self_sp, cg.T_air, lay_ids)
+
+
+def optics_from_tau(nu_grid, cg: PathCG, dtau, dtau_em) -> LayerOptics:
+    """Source assembly: S_nu = B_nu(T_air) * k_em/k_abs (LTE: ratio = 1)."""
+    B = planck_nu(nu_grid[None, None, :], cg.T_air[:, :, None])
+    tiny = jnp.asarray(1e-300 if dtau.dtype == jnp.float64 else 1e-30,
+                       dtau.dtype)
+    ratio = dtau_em / jnp.maximum(dtau, tiny)
+    source = B * jnp.where(dtau > tiny, ratio, 1.0)
+    return LayerOptics(dtau=dtau, source=source)
+
+
+def layer_optics(
+    nu_grid: jnp.ndarray,
+    lines: DeviceLines,
+    cg: PathCG,
+    nlte: Optional[DeviceNLTE] = None,
+    **kw,
+) -> LayerOptics:
+    """Per-(ray, layer) optical depth and source spectra."""
+    dtau, dtau_em = layer_tau(nu_grid, lines, cg, nlte, **kw)
+    return optics_from_tau(nu_grid, cg, dtau, dtau_em)
+
+
+def path_radiance(
+    optics: LayerOptics,
+    cg: PathCG,
+    I_background: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Gather layer optics onto the observer-first segment order and
+    integrate: returns radiance [R, P]."""
+    dtau_seg = optics.dtau[:, cg.seg_layer, :]     # [R, n_seg, P]
+    src_seg = optics.source[:, cg.seg_layer, :]
+    return radiance_along_ray(dtau_seg, src_seg, I_background)
+
+
+def limb_radiance(
+    nu_grid: jnp.ndarray,
+    lines: DeviceLines,
+    cg: PathCG,
+    nlte: Optional[DeviceNLTE] = None,
+    **kw,
+) -> jnp.ndarray:
+    """Limb scan radiances [R, P] (configs 2/3, BASELINE.json:8-9).
+    Background is deep space (0)."""
+    optics = layer_optics(nu_grid, lines, cg, nlte, **kw)
+    return path_radiance(optics, cg, None)
+
+
+def nadir_radiance(
+    nu_grid: jnp.ndarray,
+    lines: DeviceLines,
+    cg: PathCG,
+    T_surface,
+    emissivity: float = 1.0,
+    nlte: Optional[DeviceNLTE] = None,
+    **kw,
+) -> jnp.ndarray:
+    """Nadir radiances [R, P] over a blackbody/grey surface."""
+    optics = layer_optics(nu_grid, lines, cg, nlte, **kw)
+    I_bg = emissivity * planck_nu(nu_grid, T_surface)
+    I_bg = jnp.broadcast_to(I_bg, (optics.dtau.shape[0], nu_grid.shape[0]))
+    return path_radiance(optics, cg, I_bg)

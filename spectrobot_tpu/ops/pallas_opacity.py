@@ -1,0 +1,205 @@
+"""Pallas TPU kernel P1: fused Voigt line-shape + opacity accumulation
+(components C5+C6; SURVEY.md 8.3 — the native-performance tier replacing the
+reference's Fortran inner loop).
+
+Contract (same as :func:`spectrobot_tpu.ops.opacity.accumulate_jnp`):
+
+    out[o, p] = sum_i amps[o, i] * Re w(x_ip, y_i),
+    x_ip = (nu_grid[p] - nu_c[i]) * scale_x[i]
+
+Kernel layout (TPU-first):
+* 2D pallas grid (nu-tile i, line-block j); the output tile is revisited
+  across j (innermost) and accumulated in VMEM — zero HBM traffic for the
+  accumulator until the tile is done.
+* In-tile layout puts GRID POINTS on sublanes and LINES on lanes:
+  the (TILE_P x BLOCK_L) Faddeeva matrix broadcasts a [TILE_P, 1] grid
+  column against [1, BLOCK_L] line rows (VPU-shaped), and the reduction over
+  lines is one MXU matmul K @ amps^T -> [TILE_P, n_out].
+* The Voigt math is the branchless Humlicek-w4 of ops/voigt.py (shared code,
+  real-pair complex arithmetic — f32-stable in the wings, see
+  tests/test_voigt.py::test_humlicek4_f32_wing_accuracy).
+* Line windowing: lines arrive sorted by nu0 (C1), so each line-block spans
+  a contiguous wavenumber interval; the host computes, per nu-tile, the
+  [start, end) range of blocks within the wing cutoff and the kernel skips
+  everything else via a scalar-prefetched block map (ragged grid pattern).
+  Out-of-window points inside surviving blocks are masked elementwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spectrobot_tpu.ops.opacity import KernelLines
+from spectrobot_tpu.ops.voigt import wofz_humlicek4
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
+            out_ref, *, cutoff: Optional[float], n_out: int):
+    """One (nu-tile, line-block) step.
+
+    nblk_ref/starts_ref: scalar-prefetch [n_tiles] int32 — per-tile count and
+    start of ACTIVE line blocks (blocks are pre-translated by the index map;
+    starts_ref is consumed by the index maps, not the body).
+    nu_ref: [TILE_P, 1]; nuc/sx/y_ref: [1, BLOCK_L]; amps_ref:
+    [n_out, BLOCK_L]; out_ref: [n_out, TILE_P].
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(j < nblk_ref[i])
+    def _accum():
+        dnu = nu_ref[:, :] - nuc_ref[:, :]            # [TILE_P, BLOCK_L]
+        x = dnu * sx_ref[:, :]
+        y = jnp.broadcast_to(y_ref[:, :], x.shape)
+        wr, _ = wofz_humlicek4(x, y)
+        if cutoff is not None:
+            wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
+        # Reduction over lines on the MXU:
+        # [n_out, BLOCK_L] x [TILE_P, BLOCK_L] -> [n_out, TILE_P]
+        out_ref[:, :] += jax.lax.dot_general(
+            amps_ref[:, :], wr,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _block_windows(nu_host: np.ndarray, nuc_host: np.ndarray, tile_p: int,
+                   block_l: int, cutoff: Optional[float]) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: for each nu tile, the [start, count) of line BLOCKS whose
+    lines can reach the tile given the wing cutoff (lines sorted by nu0)."""
+    n_tiles = len(nu_host) // tile_p
+    n_blocks = len(nuc_host) // block_l
+    if cutoff is None:
+        starts = np.zeros(n_tiles, dtype=np.int32)
+        counts = np.full(n_tiles, n_blocks, dtype=np.int32)
+        return starts, counts
+    blk_min = nuc_host.reshape(n_blocks, block_l).min(axis=1)
+    blk_max = nuc_host.reshape(n_blocks, block_l).max(axis=1)
+    tile_lo = nu_host.reshape(n_tiles, tile_p).min(axis=1)
+    tile_hi = nu_host.reshape(n_tiles, tile_p).max(axis=1)
+    # Block b is relevant to tile t iff [blk_min-cut, blk_max+cut] overlaps
+    # [tile_lo, tile_hi].
+    starts = np.searchsorted(blk_max, tile_lo - cutoff, side="left")
+    ends = np.searchsorted(blk_min, tile_hi + cutoff, side="right")
+    starts = np.minimum(starts, n_blocks).astype(np.int32)
+    counts = np.maximum(ends - starts, 0).astype(np.int32)
+    return starts, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_blocks", "tile_p", "block_l", "cutoff_cm1",
+                     "interpret"))
+def _accumulate_padded(nu2d, nuc2d, sx2d, y2d, amps, starts, counts,
+                       *, max_blocks, tile_p, block_l, cutoff_cm1, interpret):
+    n_out = amps.shape[0]
+    P = nu2d.shape[0]
+    n_tiles = P // tile_p
+
+    grid = (n_tiles, int(max_blocks))
+
+    def nu_map(i, j, nblk, starts_ref):
+        return (i, 0)
+
+    def line_map(i, j, nblk, starts_ref):
+        # Translate the ragged window: block index = starts[i] + j, clamped.
+        return (0, jnp.minimum(starts_ref[i] + j,
+                               nuc2d.shape[1] // block_l - 1))
+
+    def amps_map(i, j, nblk, starts_ref):
+        return (0, jnp.minimum(starts_ref[i] + j,
+                               nuc2d.shape[1] // block_l - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, 1), nu_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((n_out, block_l), amps_map),
+        ],
+        out_specs=pl.BlockSpec((n_out, tile_p), lambda i, j, *_: (0, i)),
+    )
+    kern = functools.partial(_kernel, cutoff=cutoff_cm1, n_out=n_out)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_out, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, starts, nu2d, nuc2d, sx2d, y2d, amps)
+    return out
+
+
+def accumulate_pallas(
+    nu_grid: jnp.ndarray,
+    kl: KernelLines,
+    *,
+    tile_p: int = 256,
+    block_l: int = 256,
+    cutoff_cm1: Optional[float] = 25.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stage-2 accumulation via the Pallas TPU kernel.  Returns [n_out, P]
+    float32.  Host-side prep: pad P to tile_p and L to block_l; compute the
+    per-tile block windows from the (already sorted) line centers.
+
+    Note: the block-window computation needs concrete line centers, so this
+    entry point is meant to be called OUTSIDE jit with host-known nu/nu_c
+    (the returned computation itself is jitted); layer batches go through
+    ``accumulate_pallas_batch``.
+    """
+    nu_host = np.asarray(nu_grid, dtype=np.float32)
+    nuc_host = np.asarray(kl.nu_c, dtype=np.float32)
+    P, L = len(nu_host), len(nuc_host)
+    n_out = int(kl.amps.shape[0])
+
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    # Pad: grid beyond P gets a far-away wavenumber so windows exclude it;
+    # lines beyond L get zero amplitude.
+    big = (nu_host.max() if P else 0.0) + 1e6
+    nu_pad = np.full(Pp, big, dtype=np.float32)
+    nu_pad[:P] = nu_host
+    far = (nuc_host.max() if L else 0.0) + 1e7
+    nuc_pad = np.full(Lp, far, dtype=np.float32)
+    nuc_pad[:L] = nuc_host
+
+    starts, counts = _block_windows(nu_pad, nuc_pad, tile_p, block_l,
+                                    cutoff_cm1)
+    max_blocks = int(counts.max()) if counts.size else 1
+    max_blocks = max(max_blocks, 1)
+
+    def pad_line(a, fill=0.0):
+        out = jnp.full((Lp,), fill, dtype=jnp.float32)
+        return out.at[:L].set(a.astype(jnp.float32))
+
+    nu2d = jnp.asarray(nu_pad).reshape(Pp, 1)
+    nuc2d = pad_line(kl.nu_c, far).reshape(1, Lp)
+    sx2d = pad_line(kl.scale_x, 1.0).reshape(1, Lp)
+    y2d = pad_line(kl.y, 1.0).reshape(1, Lp)
+    amps = jnp.zeros((n_out, Lp), jnp.float32).at[:, :L].set(
+        kl.amps.astype(jnp.float32))
+
+    out = _accumulate_padded(
+        nu2d, nuc2d, sx2d, y2d, amps,
+        jnp.asarray(starts), jnp.asarray(counts), max_blocks=max_blocks,
+        tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
+        interpret=interpret)
+    return out[:, :P]                                 # [n_out, P]

@@ -1,0 +1,159 @@
+"""Voigt / complex-probability (Faddeeva) line-shape evaluators (C5).
+
+The reference (fedef17/SpectRobot) evaluates Voigt profiles through a Fortran
+Humlicek routine or ``scipy.special.wofz`` (SURVEY.md C5, 1.2).  Here the
+TPU-native equivalents are branch-FREE evaluators built on real-pair complex
+arithmetic (:mod:`spectrobot_tpu.ops.cpx`) so the identical math runs as pure
+jnp (tests, reference path) and inside the Pallas opacity kernel (hot path,
+SURVEY.md 8.3):
+
+* :func:`wofz_weideman` — Weideman (1994) rational approximation, N-term,
+  uniformly accurate in the upper half plane (~1e-6 rel at N=32 over the
+  atmospheric (x, y) range; PAPERS.md:7 context).  Single formula, no region
+  logic at all: ideal for the VPU.
+* :func:`wofz_humlicek4` — Humlicek (1982) w4 four-region rational
+  approximants evaluated branchlessly with ``jnp.where`` masks (~1e-4 rel):
+  cheaper per point, used where speed beats the last two digits.
+
+Conventions: w(z) = exp(-z^2) erfc(-iz), z = x + i y with y >= 0.
+The area-normalised Voigt profile is
+  V(nu) = sqrt(ln2/pi) / alpha_D * Re w(x + i y),
+  x = sqrt(ln2) (nu - nu0') / alpha_D,  y = sqrt(ln2) gamma_L / alpha_D.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from spectrobot_tpu.constants import INV_SQRT_PI
+from spectrobot_tpu.ops import cpx
+
+
+# ---------------------------------------------------------------------------
+# Weideman rational approximation
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def weideman_coeffs(n_terms: int) -> Tuple[float, Tuple[float, ...]]:
+    """Real polynomial coefficients of Weideman's rational approximation.
+
+    Computed once host-side in float64 (FFT of the Gaussian sampled at tangent
+    nodes, per Weideman 1994 'Computation of the Complex Error Function',
+    SIAM J. Num. Anal.).  Returns (L, coeffs highest-degree-first).
+    """
+    N = n_terms
+    M = 2 * N
+    M2 = 2 * M
+    k = np.arange(-M + 1, M)
+    L = np.sqrt(N / np.sqrt(2.0))
+    theta = k * np.pi / M
+    t = L * np.tan(theta / 2.0)
+    f = np.exp(-t ** 2) * (L ** 2 + t ** 2)
+    f = np.concatenate([[0.0], f])
+    a = np.real(np.fft.fft(np.fft.fftshift(f))) / M2
+    a = a[1 : N + 1][::-1]  # highest degree first for Horner
+    return float(L), tuple(float(c) for c in a)
+
+
+def wofz_weideman(x, y, n_terms: int = 32):
+    """Re and Im of w(x+iy) via the Weideman rational approximation.
+
+    Valid for y >= 0.  Branch-free: one complex Moebius transform, one real-
+    coefficient Horner chain of length ``n_terms``, two complex reciprocals.
+    """
+    L, coeffs = weideman_coeffs(n_terms)
+    dt = jnp.result_type(x, y)
+    Lc = jnp.asarray(L, dtype=dt)
+    # iz = -y + i x ;  L - iz = L + y - i x
+    denom = (Lc + y, -x)
+    inv_denom = cpx.cinv(denom)           # 1/(L - iz)
+    # Z = (L + iz)/(L - iz)
+    Z = cpx.cmul((Lc - y, x), inv_denom)
+    p = cpx.cpolyval_real_coeffs(coeffs, Z)
+    inv2 = cpx.cmul(inv_denom, inv_denom)
+    w = cpx.cadd(cpx.cscale(2.0, cpx.cmul(p, inv2)),
+                 cpx.cscale(INV_SQRT_PI, inv_denom))
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Humlicek w4 (branchless)
+# ---------------------------------------------------------------------------
+
+def wofz_humlicek4(x, y):
+    """Re and Im of w(x+iy) via Humlicek's (1982) w4 algorithm, branchless.
+
+    Regions selected by s = |x| + y:
+      I  : s >= 15                  — 1-pole rational
+      II : 5.5 <= s < 15            — 2-pole rational
+      III: s < 5.5, y >= 0.195|x|-0.176 — 4th/5th-degree rational
+      IV : s < 5.5, y <  0.195|x|-0.176 — exp(t^2) minus 6th/7th rational
+    All four formulas are evaluated on masked-safe inputs and combined with
+    ``jnp.where`` — no data-dependent control flow (XLA/Pallas friendly).
+    """
+    t = (y, -x)              # t = y - i x
+    s = jnp.abs(x) + y
+    in12 = s >= 5.5
+    in1 = s >= 15.0
+    in4 = jnp.logical_and(~in12, y < 0.195 * jnp.abs(x) - 0.176)
+
+    # Region I: w = t * invsqrtpi / (0.5 + t^2)
+    u = cpx.cmul(t, t)
+    w1 = cpx.cmul(cpx.cscale(INV_SQRT_PI, t), cpx.cinv(cpx.cadd_re(0.5, u)))
+
+    # Region II: w = t (1.410474 + u*invsqrtpi) / (0.75 + u (3 + u))
+    num2 = cpx.cmul(t, cpx.cadd_re(1.410474, cpx.cscale(INV_SQRT_PI, u)))
+    den2 = cpx.cadd_re(0.75, cpx.cmul(u, cpx.cadd_re(3.0, u)))
+    w2 = cpx.cmul(num2, cpx.cinv(den2))
+
+    # Region III: w = N(t)/D(t), Humlicek's degree-4/5 rational in t,
+    # written as expanded real-coefficient polynomials (highest degree first).
+    _N3 = (0.5642236, 3.778987, 11.96482, 20.20933, 16.4955)
+    _D3 = (1.0, 6.699398, 21.69274, 39.27121, 38.82363, 16.4955)
+    w3 = cpx.cmul(cpx.cpolyval_real_coeffs(_N3, t),
+                  cpx.cinv(cpx.cpolyval_real_coeffs(_D3, t)))
+
+    # Region IV: w = exp(u) - t*P(u)/Q(u), u = t^2.  Humlicek's nested
+    # alternating forms expanded to plain polynomials (highest degree first).
+    # exp(u) = exp(y^2 - x^2) cis(-2xy) is bounded here (region IV requires
+    # s < 5.5), but masked-out lanes are clamped to keep them finite.
+    _P4 = (0.56419, -1.320522, 35.76683, -219.0313, 1540.787,
+           -3321.9905, 36183.31)
+    _Q4 = (-1.0, 1.841439, -61.57037, 364.2191, -2186.181, 9022.228,
+           -24322.84, 32066.6)
+    xr4 = jnp.where(in4, x, 0.0)
+    yr4 = jnp.where(in4, y, 0.0)
+    t4 = (yr4, -xr4)
+    u4 = cpx.cmul(t4, t4)
+    frac4 = cpx.cmul(cpx.cpolyval_real_coeffs(_P4, u4),
+                     cpx.cinv(cpx.cpolyval_real_coeffs(_Q4, u4)))
+    w4 = cpx.csub(cpx.cexp(u4), cpx.cmul(t4, frac4))
+
+    wr = jnp.where(in1, w1[0], jnp.where(in12, w2[0], jnp.where(in4, w4[0], w3[0])))
+    wi = jnp.where(in1, w1[1], jnp.where(in12, w2[1], jnp.where(in4, w4[1], w3[1])))
+    return (wr, wi)
+
+
+def voigt_profile(dnu, alpha_d, gamma_l, variant: str = "weideman", n_terms: int = 32):
+    """Area-normalised Voigt profile V(dnu) [1/cm^-1].
+
+    dnu = nu - nu0' (shift already applied), alpha_d = Doppler HWHM [cm-1],
+    gamma_l = Lorentz HWHM [cm-1].  Broadcasting applies.
+    """
+    sqrt_ln2 = math.sqrt(math.log(2.0))
+    sqrt_ln2_pi = math.sqrt(math.log(2.0) / math.pi)
+    inv_ad = 1.0 / alpha_d
+    x = sqrt_ln2 * dnu * inv_ad
+    y = sqrt_ln2 * gamma_l * inv_ad
+    if variant == "weideman":
+        wr, _ = wofz_weideman(x, y, n_terms=n_terms)
+    elif variant == "humlicek4":
+        wr, _ = wofz_humlicek4(x, y)
+    else:
+        raise ValueError(f"unknown voigt variant {variant!r}")
+    return sqrt_ln2_pi * inv_ad * wr

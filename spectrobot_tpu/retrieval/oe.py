@@ -1,0 +1,164 @@
+"""Optimal-estimation / Levenberg-Marquardt inversion (C16, SURVEY.md 4.2).
+
+The reference (fedef17/SpectRobot ``spect_main_module`` LM driver [SURVEY.md
+1.2]) iterates forward + Jacobian to fit limb-scan spectra.  TPU-native
+design: the LM ITERATION (solve, chi^2, lambda bookkeeping) is a pure jitted
+function of (x, K, F, lambda); the OUTER loop runs on the host because each
+iteration's Jacobian is a fresh device computation and convergence control is
+control flow the host does better (SURVEY.md C16: "host-orchestrated loop;
+linear algebra on chip").
+
+Per-iteration state is checkpointed (utils/checkpoint.py) and logged as
+structured JSONL (utils/runlog.py) — the failure-recovery story of SURVEY.md
+section 6: restart re-enters at the last completed iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class OEConfig:
+    max_iter: int = 20
+    lm_lambda0: float = 1.0e-2
+    lm_up: float = 10.0          # lambda multiplier on rejected step
+    lm_down: float = 0.3         # lambda multiplier on accepted step
+    chi2_rel_tol: float = 1e-3   # convergence: relative chi2 change
+    dx2_tol: float = 0.1         # convergence: d-squared < tol * n_x (Rodgers)
+    lambda_max: float = 1e8
+
+
+@dataclasses.dataclass
+class RetrievalResult:
+    x: np.ndarray                # retrieved flat state
+    chi2: float                  # final total cost (measurement + prior)
+    chi2_meas: float
+    n_iter: int
+    converged: bool
+    S_hat: np.ndarray            # posterior covariance
+    A_kernel: np.ndarray         # averaging-kernel matrix
+    history: List[Dict]          # per-iteration records
+    K: np.ndarray                # final Jacobian
+
+
+def _chi2_terms(y, F, x, x_a, inv_se_diag, S_a_inv):
+    r = y - F
+    meas = jnp.dot(r * inv_se_diag, r)
+    dxa = x - x_a
+    prior = dxa @ (S_a_inv @ dxa)
+    return meas, prior
+
+
+@jax.jit
+def _lm_step(x, K, F, y, x_a, inv_se_diag, S_a_inv, lam):
+    """One LM solve:  (K^T Se^-1 K + S_a^-1 + lam*diag(S_a^-1)) dx = b."""
+    KtSe = K.T * inv_se_diag[None, :]
+    H = KtSe @ K + S_a_inv
+    D = jnp.diag(jnp.diag(S_a_inv))
+    A = H + lam * D
+    b = KtSe @ (y - F) - S_a_inv @ (x - x_a)
+    dx = jnp.linalg.solve(A, b)
+    # Rodgers convergence metric d^2 = dx^T (K^T Se^-1 (y-F) - ...)  ~ dx.b
+    d2 = dx @ b
+    return x + dx, dx, d2
+
+
+def retrieve(
+    forward_flat: Callable[[jnp.ndarray], jnp.ndarray],
+    jacobian: Callable[[jnp.ndarray], jnp.ndarray],
+    y: jnp.ndarray,
+    x0: jnp.ndarray,
+    x_a: jnp.ndarray,
+    S_a: np.ndarray,
+    noise_sigma: jnp.ndarray,
+    cfg: OEConfig = OEConfig(),
+    logger=None,
+    checkpointer=None,
+) -> RetrievalResult:
+    """Run the OE/LM loop to convergence (config 5, BASELINE.json:11).
+
+    forward_flat / jacobian: flat-state callables (see retrieval.state).
+    noise_sigma: per-channel measurement noise (diagonal S_eps).
+    logger: optional utils.runlog.RunLogger; checkpointer: optional
+    utils.checkpoint.Checkpointer (resume supported via its ``latest()``).
+    """
+    inv_se = jnp.asarray(1.0 / np.asarray(noise_sigma) ** 2)
+    S_a = np.asarray(S_a)
+    S_a_inv = jnp.asarray(np.linalg.inv(S_a))
+    x = jnp.asarray(x0)
+    x_a = jnp.asarray(x_a)
+    lam = cfg.lm_lambda0
+    history: List[Dict] = []
+    start_iter = 0
+
+    if checkpointer is not None:
+        ck = checkpointer.latest()
+        if ck is not None:
+            x = jnp.asarray(ck["x"])
+            lam = float(ck["lam"])
+            start_iter = int(ck["iteration"]) + 1
+            history = list(ck.get("history", []))
+
+    F = forward_flat(x)
+    chi2_m, chi2_p = _chi2_terms(y, F, x, x_a, inv_se, S_a_inv)
+    chi2 = float(chi2_m + chi2_p)
+    converged = False
+    n_x = x.shape[0]
+    K = None
+    it = start_iter
+
+    for it in range(start_iter, cfg.max_iter):
+        t0 = time.time()
+        K = jacobian(x)
+        x_try, dx, d2 = _lm_step(x, K, F, y, x_a, inv_se, S_a_inv, lam)
+        F_try = forward_flat(x_try)
+        m_try, p_try = _chi2_terms(y, F_try, x_try, x_a, inv_se, S_a_inv)
+        chi2_try = float(m_try + p_try)
+        accepted = chi2_try < chi2
+
+        rec = {
+            "iteration": it, "lambda": float(lam), "chi2": chi2,
+            "chi2_try": chi2_try, "accepted": bool(accepted),
+            "d2": float(d2), "norm_dx": float(jnp.linalg.norm(dx)),
+            "wall_s": time.time() - t0,
+        }
+        history.append(rec)
+        if logger is not None:
+            logger.log(rec)
+
+        if accepted:
+            rel = (chi2 - chi2_try) / max(chi2, 1e-300)
+            x, F, chi2 = x_try, F_try, chi2_try
+            lam = max(lam * cfg.lm_down, 1e-12)
+            if checkpointer is not None:
+                checkpointer.save(it, x=np.asarray(x), lam=lam,
+                                  history=history)
+            if rel < cfg.chi2_rel_tol or float(d2) < cfg.dx2_tol * n_x:
+                converged = True
+                break
+        else:
+            lam *= cfg.lm_up
+            if lam > cfg.lambda_max:
+                break
+
+    if K is None:
+        K = jacobian(x)
+    # Posterior covariance and averaging kernels (Rodgers 2000).
+    KtSe = np.asarray(K).T * np.asarray(inv_se)[None, :]
+    H = KtSe @ np.asarray(K)
+    S_hat = np.linalg.inv(H + np.asarray(S_a_inv))
+    A_kernel = S_hat @ H
+    chi2_m, _ = _chi2_terms(y, F, x, x_a, inv_se, S_a_inv)
+
+    return RetrievalResult(
+        x=np.asarray(x), chi2=chi2, chi2_meas=float(chi2_m),
+        n_iter=it + 1, converged=converged, S_hat=S_hat, A_kernel=A_kernel,
+        history=history, K=np.asarray(K),
+    )

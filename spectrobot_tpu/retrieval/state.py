@@ -1,0 +1,112 @@
+"""Retrieval state vector and forward-model builder (C15-C17, SURVEY.md).
+
+The reference (fedef17/SpectRobot ``spect_main_module`` bayes/retrieval
+classes [SURVEY.md 1.2]) retrieves temperature and VMR profiles from limb
+scans.  TPU-native design: the state is a pytree
+``{"T": [n_lev], "ln_vmr": {species: [n_lev]}}`` flattened with
+``ravel_pytree``; the forward model is ONE jit-able function state -> y
+(concatenated channel radiances over all rays), differentiable end-to-end, so
+Jacobians come from ``jax.jacfwd`` (forward-mode: n_x tangents through one
+linearised pass) with a finite-difference harness beside it (config 4,
+BASELINE.json:10).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from spectrobot_tpu.data.atmosphere import Atmosphere, Planet
+from spectrobot_tpu.data.nlte import DeviceNLTE
+from spectrobot_tpu.forward.geometry import limb_path_cg, nadir_path_cg
+from spectrobot_tpu.forward.limb import limb_radiance, nadir_radiance
+from spectrobot_tpu.ops.ils import apply_ils
+from spectrobot_tpu.ops.strengths import DeviceLines
+
+
+def make_state(atm: Atmosphere, retrieve_vmr: Sequence[str]) -> Dict:
+    """Initial state from an atmosphere: kinetic T profile + log-VMR profiles
+    of the retrieved species (log keeps VMRs positive under LM steps)."""
+    return {
+        "T": atm.T,
+        "ln_vmr": {s: jnp.log(atm.vmr[s]) for s in retrieve_vmr},
+    }
+
+
+def apply_state(atm: Atmosphere, state: Dict) -> Atmosphere:
+    out = atm.with_temperature(state["T"])
+    for s, lv in state["ln_vmr"].items():
+        out = out.with_vmr(s, jnp.exp(lv))
+    return out
+
+
+def build_forward(
+    base_atm: Atmosphere,
+    lines: DeviceLines,
+    nu_grid: jnp.ndarray,
+    species: Sequence[str],
+    planet: Planet,
+    tangent_heights_m: Optional[jnp.ndarray] = None,
+    sec_theta: Optional[jnp.ndarray] = None,
+    T_surface: Optional[float] = None,
+    ils_W: Optional[jnp.ndarray] = None,
+    nlte: Optional[DeviceNLTE] = None,
+    n_sub: int = 4,
+    *,
+    variant: str = "humlicek4",
+    cutoff_cm1: Optional[float] = 25.0,
+    chunk: int = 256,
+) -> Callable[[Dict], jnp.ndarray]:
+    """Build F: state -> y.
+
+    Limb mode when ``tangent_heights_m`` is given (deep-space background),
+    nadir mode when ``sec_theta``/``T_surface`` are given.  ``ils_W`` maps
+    the fine grid to instrument channels (None = raw fine-grid radiances).
+    Output y is flattened [n_ray * n_chan].
+    """
+    kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk)
+
+    def forward(state: Dict) -> jnp.ndarray:
+        atm = apply_state(base_atm, state)
+        if tangent_heights_m is not None:
+            cg = limb_path_cg(atm, species, tangent_heights_m, planet, n_sub)
+            I = limb_radiance(nu_grid, lines, cg, nlte, **kw)
+        else:
+            cg = nadir_path_cg(atm, species, sec_theta, n_sub)
+            I = nadir_radiance(nu_grid, lines, cg, T_surface, nlte=nlte, **kw)
+        if ils_W is not None:
+            I = apply_ils(I, ils_W)
+        return I.reshape(-1)
+
+    return forward
+
+
+def flatten_state(state: Dict) -> Tuple[jnp.ndarray, Callable]:
+    """state pytree <-> flat vector (fixed ordering via ravel_pytree)."""
+    flat, unravel = ravel_pytree(state)
+    return flat, unravel
+
+
+def jacobian_fwd(forward_flat: Callable, x: jnp.ndarray) -> jnp.ndarray:
+    """Analytic Jacobian K [n_y, n_x] by forward-mode AD (C15)."""
+    return jax.jacfwd(forward_flat)(x)
+
+
+def jacobian_fd(forward_flat: Callable, x: jnp.ndarray,
+                eps: float = 1e-3) -> jnp.ndarray:
+    """Central finite-difference Jacobian — the config-4 cross-check harness
+    (BASELINE.json:10).  eps is scaled per-parameter by max(|x_i|, 1)."""
+    import numpy as np
+    x = np.asarray(x)
+    cols = []
+    for i in range(x.shape[0]):
+        h = eps * max(abs(x[i]), 1.0)
+        xp = x.copy(); xp[i] += h
+        xm = x.copy(); xm[i] -= h
+        cols.append((np.asarray(forward_flat(jnp.asarray(xp)))
+                     - np.asarray(forward_flat(jnp.asarray(xm)))) / (2 * h))
+    return np.stack(cols, axis=1)

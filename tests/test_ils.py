@@ -1,0 +1,49 @@
+"""Instrument line-shape convolution (C14)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrobot_tpu.ops.ils import apply_ils, ils_matrix
+
+
+@pytest.mark.parametrize("shape", ["gaussian", "triangle", "sinc2"])
+def test_flat_spectrum_stays_flat(shape):
+    nu = np.linspace(600.0, 700.0, 5001)
+    chans = np.linspace(610.0, 690.0, 41)
+    W = ils_matrix(nu, chans, fwhm=0.5, shape=shape)
+    out = np.asarray(apply_ils(jnp.full(nu.shape, 2.5), jnp.asarray(W)))
+    np.testing.assert_allclose(out, 2.5, rtol=1e-10)
+
+
+def test_delta_maps_to_ils_shape():
+    nu = np.linspace(-5.0, 5.0, 2001)
+    W = ils_matrix(nu + 650.0, np.array([650.0]), fwhm=1.0, shape="gaussian")
+    spec = np.zeros_like(nu)
+    i0 = 1000  # delta at channel center
+    spec[i0] = 1.0
+    out = float(np.asarray(apply_ils(jnp.asarray(spec), jnp.asarray(W)))[0])
+    # Response = W[0, i0]: the ILS peak weight.
+    assert out == pytest.approx(W[0, i0])
+    assert W[0, i0] == W[0].max()
+
+
+def test_batched_application():
+    nu = np.linspace(600.0, 700.0, 1001)
+    chans = np.linspace(620.0, 680.0, 13)
+    W = jnp.asarray(ils_matrix(nu, chans, fwhm=1.0))
+    spectra = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 5, 1001)))
+    out = np.asarray(apply_ils(spectra, W))
+    assert out.shape == (4, 5, 13)
+    one = np.asarray(apply_ils(spectra[2, 3], W))
+    np.testing.assert_allclose(out[2, 3], one, rtol=1e-12)
+
+
+def test_smoothing_reduces_variance():
+    nu = np.linspace(600.0, 700.0, 5001)
+    chans = np.linspace(620.0, 680.0, 601)
+    W = ils_matrix(nu, chans, fwhm=2.0)
+    rng = np.random.default_rng(1)
+    spec = 1.0 + 0.5 * rng.standard_normal(nu.shape)
+    out = np.asarray(apply_ils(jnp.asarray(spec), jnp.asarray(W)))
+    assert out.std() < 0.1 * spec.std()

@@ -1,0 +1,63 @@
+"""Pallas kernel P1 parity vs the jnp stage-2 path (SURVEY.md 5.4: kernels
+get an interpret=True CPU test; on-chip parity runs in bench/TPU sessions)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrobot_tpu.data.synth import random_lines
+from spectrobot_tpu.ops.opacity import accumulate_jnp, line_kernel_inputs
+from spectrobot_tpu.ops.pallas_opacity import _block_windows, accumulate_pallas
+from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+
+def _kl(n_lines=700, seed=0):
+    ll = random_lines(n_lines, 640.0, 700.0, seed=seed)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32)
+    w = jnp.ones((2, dl.n_lines), jnp.float32).at[1].mul(0.5)
+    return line_kernel_inputs(dl, 220.0, 300.0, 100.0, amp_weights=w)
+
+
+@pytest.mark.parametrize("cutoff", [25.0, None])
+def test_interpret_parity(cutoff):
+    kl = _kl()
+    nu = jnp.asarray(np.linspace(640, 700, 1500), jnp.float32)
+    ref = np.asarray(accumulate_jnp(nu, kl, chunk=256, variant="humlicek4",
+                                    cutoff_cm1=cutoff))
+    got = np.asarray(accumulate_pallas(nu, kl, tile_p=256, block_l=256,
+                                       cutoff_cm1=cutoff, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=scale * 1e-7)
+
+
+def test_interpret_parity_awkward_sizes():
+    # P and L not multiples of the tile/block sizes — padding paths.
+    kl = _kl(n_lines=333)
+    nu = jnp.asarray(np.linspace(650, 690, 777), jnp.float32)
+    ref = np.asarray(accumulate_jnp(nu, kl, chunk=128, variant="humlicek4",
+                                    cutoff_cm1=10.0))
+    got = np.asarray(accumulate_pallas(nu, kl, tile_p=256, block_l=128,
+                                       cutoff_cm1=10.0, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=scale * 1e-7)
+
+
+def test_block_windows_cover_cutoff():
+    nu = np.linspace(600.0, 700.0, 1024).astype(np.float32)
+    nuc = np.sort(np.random.default_rng(0).uniform(550, 750, 2048)).astype(np.float32)
+    starts, counts = _block_windows(nu, nuc, 256, 256, 25.0)
+    n_blocks = len(nuc) // 256
+    blk = nuc.reshape(n_blocks, 256)
+    for t in range(len(nu) // 256):
+        lo, hi = nu[t * 256], nu[(t + 1) * 256 - 1]
+        needed = {b for b in range(n_blocks)
+                  if (blk[b].max() >= lo - 25.0) and (blk[b].min() <= hi + 25.0)}
+        covered = set(range(starts[t], starts[t] + counts[t]))
+        assert needed <= covered
+
+
+def test_block_windows_dense():
+    nu = np.linspace(600.0, 700.0, 512).astype(np.float32)
+    nuc = np.linspace(600, 700, 512).astype(np.float32)
+    starts, counts = _block_windows(nu, nuc, 256, 256, None)
+    assert np.all(starts == 0) and np.all(counts == 2)
