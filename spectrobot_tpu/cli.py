@@ -1,0 +1,246 @@
+"""Command-line driver (C18, SURVEY.md call stack 4.1's entry layer).
+
+Replaces the reference's ``spect_robot.py`` script driver with a proper CLI:
+
+    python -m spectrobot_tpu forward  cfg.toml [-o grid.n_points=8192 ...]
+    python -m spectrobot_tpu retrieve cfg.toml [...]
+    python -m spectrobot_tpu info
+
+Outputs land in ``run.output_dir``: radiances as .npz, retrieval state +
+history as .npz/JSONL; stdout stays clean (diagnostics on stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _build_lines(cfg):
+    from spectrobot_tpu.data import synth
+    from spectrobot_tpu.data.hitran import LineList, parse_par_file
+
+    src = cfg.lines.source
+    if src.startswith("synthetic:"):
+        gens = {
+            "co2_15um": synth.co2_15um_band,
+            "co2_43um": synth.co2_43um_band,
+            "co2_43um_hot": synth.co2_43um_hot_band,
+            "co_fundamental": synth.co_fundamental,
+            "h2o": synth.h2o_band,
+        }
+        ll = None
+        for name in src.split(":", 1)[1].split(","):
+            part = gens[name.strip()]()
+            ll = part if ll is None else ll.concat(part)
+    elif src.endswith(".npz"):
+        ll = LineList.load_npz(src)
+    else:
+        ll = parse_par_file(src)
+    ll = ll.select(nu_min=cfg.grid.nu_min, nu_max=cfg.grid.nu_max,
+                   wing_cm1=cfg.lines.wing_cm1, min_sw=cfg.lines.min_sw)
+    return ll
+
+
+def _build_atmosphere(cfg):
+    from spectrobot_tpu.data.atmosphere import (
+        PLANETS, Atmosphere, mars_standard_atmosphere,
+    )
+    import jax.numpy as jnp
+
+    planet = PLANETS[cfg.scene.planet.lower()]
+    if cfg.scene.atmosphere == "mars_standard":
+        atm = mars_standard_atmosphere(n_lev=cfg.scene.n_levels,
+                                       z_top=cfg.scene.z_top_m)
+    else:
+        with np.load(cfg.scene.atmosphere) as z:
+            vmr = {k[4:]: jnp.asarray(z[k]) for k in z.files
+                   if k.startswith("vmr_")}
+            atm = Atmosphere(z=jnp.asarray(z["z"]), p=jnp.asarray(z["p"]),
+                             T=jnp.asarray(z["T"]), n=jnp.asarray(z["n"]),
+                             vmr=vmr)
+    return planet, atm
+
+
+def build_scene(cfg):
+    """Config -> (planet, atm, device_lines, nu_grid, ils_W or None)."""
+    import jax.numpy as jnp
+    from spectrobot_tpu.data.molparams import molecule_by_name
+    from spectrobot_tpu.ops.ils import ils_matrix
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    dtype = jnp.float64 if cfg.compute.dtype == "float64" else jnp.float32
+    planet, atm = _build_atmosphere(cfg)
+    ll = _build_lines(cfg)
+    pairs = []
+    for name in cfg.scene.species:
+        mol = molecule_by_name(name)
+        pairs.extend((mol.mol_id, iso) for iso in mol.isotopologues)
+    dl = device_lines_from_linelist(ll, pairs, dtype=dtype)
+    # Map species rows back: rows are per (mol, iso); VMR lookup uses the
+    # molecule name of each pair.
+    from spectrobot_tpu.data.molparams import MOLECULES
+    species_names = [MOLECULES[m].name for (m, _) in pairs]
+    nu = jnp.asarray(np.linspace(cfg.grid.nu_min, cfg.grid.nu_max,
+                                 cfg.grid.n_points), dtype)
+    W = None
+    if cfg.instrument.enabled:
+        lo = cfg.instrument.chan_min or cfg.grid.nu_min + 2 * cfg.instrument.fwhm_cm1
+        hi = cfg.instrument.chan_max or cfg.grid.nu_max - 2 * cfg.instrument.fwhm_cm1
+        W = jnp.asarray(
+            ils_matrix(np.asarray(nu), np.linspace(lo, hi, cfg.instrument.n_channels),
+                       cfg.instrument.fwhm_cm1, cfg.instrument.shape), dtype)
+    return planet, atm, dl, species_names, nu, W
+
+
+def cmd_forward(cfg) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from spectrobot_tpu.forward.geometry import limb_path_cg, nadir_path_cg
+    from spectrobot_tpu.forward.limb import limb_radiance, nadir_radiance
+    from spectrobot_tpu.ops.ils import apply_ils
+
+    planet, atm, dl, species_names, nu, W = build_scene(cfg)
+    kw = dict(variant=cfg.compute.variant, cutoff_cm1=cfg.compute.cutoff_cm1,
+              chunk=cfg.compute.chunk)
+    t0 = time.time()
+    if cfg.geometry.mode == "limb":
+        h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
+                          nu.dtype)
+        cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
+        I = jax.jit(lambda: limb_radiance(nu, dl, cg, **kw))()
+    else:
+        sec = jnp.asarray(cfg.geometry.sec_theta, nu.dtype)
+        cg = nadir_path_cg(atm, species_names, sec, cfg.geometry.n_sub)
+        I = jax.jit(lambda: nadir_radiance(nu, dl, cg, cfg.geometry.t_surface,
+                                           **kw))()
+    if W is not None:
+        I = apply_ils(I, W)
+    I = np.asarray(jax.block_until_ready(I))
+    wall = time.time() - t0
+
+    os.makedirs(cfg.run.output_dir, exist_ok=True)
+    out_path = os.path.join(cfg.run.output_dir, "forward.npz")
+    np.savez(out_path, radiance=I, nu=np.asarray(nu),
+             tangent_heights_km=np.asarray(cfg.geometry.tangent_heights_km))
+    print(f"forward: {I.shape} radiances in {wall:.2f}s -> {out_path}",
+          file=sys.stderr)
+    return {"radiance_shape": list(I.shape), "wall_s": wall,
+            "output": out_path, "n_lines": dl.n_lines}
+
+
+def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from spectrobot_tpu.retrieval.oe import OEConfig, retrieve
+    from spectrobot_tpu.retrieval.state import (
+        build_forward, flatten_state, make_state,
+    )
+    from spectrobot_tpu.utils.checkpoint import Checkpointer
+    from spectrobot_tpu.utils.runlog import RunLogger
+
+    planet, atm, dl, species_names, nu, W = build_scene(cfg)
+    h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
+                      nu.dtype) if cfg.geometry.mode == "limb" else None
+    sec = (None if cfg.geometry.mode == "limb"
+           else jnp.asarray(cfg.geometry.sec_theta, nu.dtype))
+    fwd = build_forward(
+        atm, dl, nu, species_names, planet, tangent_heights_m=h_t,
+        sec_theta=sec, T_surface=cfg.geometry.t_surface, ils_W=W,
+        n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
+        cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk)
+
+    retrieve_vmr = list(cfg.retrieval.retrieve_vmr)
+    state0 = make_state(atm, retrieve_vmr)
+    if not cfg.retrieval.retrieve_temperature:
+        raise NotImplementedError("temperature retrieval is always on today")
+    x0, unravel = flatten_state(state0)
+    fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
+    jac = jax.jit(lambda x: jax.jacfwd(fwd_flat)(x))
+
+    n_lev = atm.n_lev
+    sa = np.concatenate([np.full(n_lev, cfg.retrieval.sigma_T ** 2)]
+                        + [np.full(n_lev, cfg.retrieval.sigma_lnvmr ** 2)
+                           for _ in retrieve_vmr])
+    S_a = np.diag(sa)
+
+    if y_obs is None:
+        # Self-test mode: synthesise observations from a perturbed truth.
+        rng = np.random.default_rng(0)
+        atm_true = atm.with_temperature(
+            atm.T + jnp.asarray(5.0 * np.sin(np.linspace(0, 3, n_lev)),
+                                atm.T.dtype))
+        x_true, _ = flatten_state(make_state(atm_true, retrieve_vmr))
+        y_clean = np.asarray(fwd_flat(jnp.asarray(x_true)))
+        noise = cfg.instrument.noise or 0.005 * float(y_clean.max())
+        y_obs = y_clean + noise * rng.standard_normal(y_clean.shape)
+    else:
+        noise = cfg.instrument.noise or 0.005 * float(np.max(y_obs))
+
+    os.makedirs(cfg.run.output_dir, exist_ok=True)
+    log_path = cfg.run.log_file or os.path.join(cfg.run.output_dir, "run.jsonl")
+    ck_dir = cfg.run.checkpoint_dir or os.path.join(cfg.run.output_dir, "ck")
+    logger = RunLogger(log_path, echo=True)
+    res = retrieve(
+        fwd_flat, jac, jnp.asarray(y_obs), x0, x0, S_a,
+        jnp.full(y_obs.shape, noise),
+        OEConfig(max_iter=cfg.retrieval.max_iter,
+                 lm_lambda0=cfg.retrieval.lm_lambda0,
+                 chi2_rel_tol=cfg.retrieval.chi2_rel_tol),
+        logger=logger, checkpointer=Checkpointer(ck_dir))
+
+    out_path = os.path.join(cfg.run.output_dir, "retrieval.npz")
+    np.savez(out_path, x=res.x, S_hat=res.S_hat, A_kernel=res.A_kernel,
+             chi2=res.chi2, n_iter=res.n_iter, converged=res.converged)
+    print(f"retrieve: converged={res.converged} n_iter={res.n_iter} "
+          f"chi2={res.chi2:.4g} -> {out_path}", file=sys.stderr)
+    return {"converged": bool(res.converged), "n_iter": res.n_iter,
+            "chi2": float(res.chi2), "output": out_path}
+
+
+def cmd_info() -> dict:
+    import jax
+    devs = jax.devices()
+    info = {
+        "version": __import__("spectrobot_tpu").__version__,
+        "jax": jax.__version__,
+        "devices": [f"{d.device_kind} ({d.platform})" for d in devs],
+    }
+    return info
+
+
+def main(argv=None) -> int:
+    from spectrobot_tpu.config import load_config
+
+    p = argparse.ArgumentParser(prog="spectrobot_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("forward", "retrieve"):
+        sp = sub.add_parser(name)
+        sp.add_argument("config", nargs="?", default=None)
+        sp.add_argument("-o", "--override", action="append", default=[],
+                        metavar="SECTION.KEY=VALUE")
+    sub.add_parser("info")
+    args = p.parse_args(argv)
+
+    if args.cmd == "info":
+        print(json.dumps(cmd_info(), indent=2))
+        return 0
+
+    overrides = {}
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        overrides[k] = v
+    cfg = load_config(args.config, overrides)
+    result = cmd_forward(cfg) if args.cmd == "forward" else cmd_retrieve(cfg)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

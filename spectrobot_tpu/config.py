@@ -1,0 +1,151 @@
+"""Typed configuration (C18, SURVEY.md section 6 "config/flag system").
+
+The reference (fedef17/SpectRobot ``spect_robot.py`` [SURVEY.md 1.2]) parses
+a bespoke key-value input file.  TPU-native design: one frozen dataclass tree
+loaded from TOML with dotted-path CLI overrides; every field is hashable so
+the config can be a jit static argument, and ONE object flows down the whole
+stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import tomllib
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    nu_min: float = 630.0
+    nu_max: float = 700.0
+    n_points: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    planet: str = "mars"
+    atmosphere: str = "mars_standard"   # "mars_standard" | path to .npz
+    n_levels: int = 33
+    z_top_m: float = 80e3
+    species: Tuple[str, ...] = ("CO2",)
+
+
+@dataclasses.dataclass(frozen=True)
+class LinesConfig:
+    # "synthetic:<name>[,<name>...]" with names from data.synth, or a path to
+    # a HITRAN .par file, or a cached .npz from LineList.save_npz.
+    source: str = "synthetic:co2_15um"
+    min_sw: Optional[float] = None
+    wing_cm1: float = 25.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryConfig:
+    mode: str = "limb"                  # "limb" | "nadir"
+    tangent_heights_km: Tuple[float, ...] = (10.0, 20.0, 30.0, 40.0)
+    sec_theta: Tuple[float, ...] = (1.0,)
+    t_surface: float = 260.0
+    n_sub: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class InstrumentConfig:
+    enabled: bool = False
+    fwhm_cm1: float = 0.5
+    shape: str = "gaussian"
+    chan_min: float = 0.0               # 0 => grid bounds
+    chan_max: float = 0.0
+    n_channels: int = 128
+    noise: float = 0.0                  # radiance noise sigma
+
+
+@dataclasses.dataclass(frozen=True)
+class ComputeConfig:
+    dtype: str = "float32"
+    variant: str = "humlicek4"          # | "weideman"
+    cutoff_cm1: float = 25.0
+    chunk: int = 256
+    use_pallas: bool = True             # Pallas kernel on TPU, jnp elsewhere
+    mesh_ray: int = 1
+    mesh_line: int = 1
+    mesh_nu: int = 0                    # 0 => all remaining devices
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    retrieve_temperature: bool = True
+    retrieve_vmr: Tuple[str, ...] = ()
+    max_iter: int = 15
+    lm_lambda0: float = 1e-2
+    chi2_rel_tol: float = 1e-3
+    sigma_T: float = 10.0               # prior std [K]
+    sigma_lnvmr: float = 1.0            # prior std [ln]
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    output_dir: str = "out"
+    checkpoint_dir: str = ""            # "" => <output_dir>/ck
+    log_file: str = ""                  # "" => <output_dir>/run.jsonl
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    grid: GridConfig = GridConfig()
+    scene: SceneConfig = SceneConfig()
+    lines: LinesConfig = LinesConfig()
+    geometry: GeometryConfig = GeometryConfig()
+    instrument: InstrumentConfig = InstrumentConfig()
+    compute: ComputeConfig = ComputeConfig()
+    retrieval: RetrievalConfig = RetrievalConfig()
+    run: RunConfig = RunConfig()
+
+
+_SECTIONS = {f.name: f.type for f in dataclasses.fields(Config)}
+
+
+def _coerce(dc_cls, data: dict):
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+    for k, v in data.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {dc_cls.__name__}.{k}")
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return dc_cls(**kwargs)
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Optional[dict] = None) -> Config:
+    """Load TOML + apply dotted-path overrides ({'grid.n_points': 8192})."""
+    data: dict = {}
+    if path is not None:
+        with open(path, "rb") as f:
+            data = tomllib.load(f)
+    sections = {}
+    for name, cls in _SECTIONS.items():
+        if isinstance(cls, str):  # from __future__ annotations
+            cls = globals()[cls]
+        sections[name] = _coerce(cls, data.get(name, {}))
+    cfg = Config(**sections)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    for dotted, value in overrides.items():
+        sec, _, key = dotted.partition(".")
+        if not key:
+            raise KeyError(f"override must be section.key, got {dotted!r}")
+        section = getattr(cfg, sec)
+        old = getattr(section, key)      # raises on unknown key
+        if old is not None and not isinstance(old, (tuple, type(None))):
+            value = type(old)(value)
+        elif isinstance(old, tuple) and isinstance(value, str):
+            value = tuple(type(old[0])(x) if old else x
+                          for x in value.split(","))
+        section = dataclasses.replace(section, **{key: value})
+        cfg = dataclasses.replace(cfg, **{sec: section})
+    return cfg

@@ -63,8 +63,13 @@ class Atmosphere:
         Used by the retrieval when perturbing the temperature profile: p(z) is
         held fixed (hydrostatic re-adjustment is second order for limb
         weighting and is what single-profile retrievals conventionally do).
+
+        Computed as (p/T)/k_B, NOT p/(k_B*T): the division JVP squares the
+        denominator, and (k_B*T)^2 ~ 1e-41 underflows float32 — T carries the
+        retrieval tangents, so the tangent-bearing denominator must stay in
+        normal range.
         """
-        n_new = self.p / (K_BOLTZ * T_new)
+        n_new = (self.p / T_new) * (1.0 / K_BOLTZ)
         return dataclasses.replace(self, T=T_new, n=n_new)
 
     def with_vmr(self, name: str, vmr_new: jnp.ndarray) -> "Atmosphere":

@@ -81,29 +81,40 @@ def _cg_from_samples(atm: Atmosphere, species: Sequence[str], z_k, w):
     T = atm.interp_T(z_k)                    # [NL, n_sub]
     p = atm.interp_logp(z_k)
     n = atm.interp_n(z_k)
-    tiny = jnp.asarray(1e-300 if T.dtype == jnp.float64 else 1e-30, T.dtype)
 
-    n_air_col = jnp.sum(n * w, axis=-1)
-    T_air = jnp.sum(T * n * w, axis=-1) / jnp.maximum(n_air_col, tiny)
+    # float32-safe weighted averages.  Two autodiff hazards live here:
+    # (1) the division JVP squares the divisor, and SI columns (~1e25 /m^2)
+    #     square to inf in f32 — so the AVERAGING weights are pre-scaled by
+    #     an exact power of two (2^-83 ~ 1.03e-25; ratios are unchanged
+    #     bit-for-bit, squares stay in normal range);
+    # (2) empty layers (below the tangent) have exactly-zero columns, and
+    #     `x/max(u, tiny)` gives 0*0/0 = NaN tangents on the masked branch —
+    #     so the pattern is where(ok, u, 1) -> divide -> where(ok, val, def).
+    CG_SCALE = 2.0 ** -83
+    w_s = w * CG_SCALE
+    n_air_col = jnp.sum(n * w_s, axis=-1)
+    air_ok = n_air_col > 0
+    T_air = jnp.sum(T * n * w_s, axis=-1) / jnp.where(air_ok, n_air_col, 1.0)
+    T_air = jnp.where(air_ok, T_air, 200.0)
 
-    us, Ts, ps, pss = [], [], [], []
+    us, Ts, ps, pss, oks = [], [], [], [], []
     for name in species:
         vmr = atm.interp_vmr(name, z_k)      # [NL, n_sub]
         ns = n * vmr
-        u = jnp.sum(ns * w, axis=-1)         # [NL]
-        u_safe = jnp.maximum(u, tiny)
-        Ts.append(jnp.sum(T * ns * w, axis=-1) / u_safe)
-        ps.append(jnp.sum(p * ns * w, axis=-1) / u_safe)
-        pss.append(jnp.sum(p * vmr * ns * w, axis=-1) / u_safe)
-        us.append(u)
+        u_s = jnp.sum(ns * w_s, axis=-1)     # [NL], scaled
+        ok = u_s > 0
+        u_div = jnp.where(ok, u_s, 1.0)
+        Ts.append(jnp.sum(T * ns * w_s, axis=-1) / u_div)
+        ps.append(jnp.sum(p * ns * w_s, axis=-1) / u_div)
+        pss.append(jnp.sum(p * vmr * ns * w_s, axis=-1) / u_div)
+        us.append(u_s * (1.0 / CG_SCALE))    # physical column [molec m^-2]
+        oks.append(ok)
     stack = lambda xs: jnp.stack(xs, axis=-1)      # [NL, S]
-    # Guard empty layers (u = 0): keep T/p at harmless mid-range values.
     u = stack(us)
-    ok = u > 0
+    ok = stack(oks)
     T_sp = jnp.where(ok, stack(Ts), 200.0)
     p_sp = jnp.where(ok, stack(ps), 1.0)
     p_self_sp = jnp.where(ok, stack(pss), 0.0)
-    T_air = jnp.where(n_air_col > 0, T_air, 200.0)
     return u, T_sp, p_sp, p_self_sp, T_air
 
 

@@ -74,9 +74,14 @@ def layer_tau(
 
 
 def optics_from_tau(nu_grid, cg: PathCG, dtau, dtau_em) -> LayerOptics:
-    """Source assembly: S_nu = B_nu(T_air) * k_em/k_abs (LTE: ratio = 1)."""
+    """Source assembly: S_nu = B_nu(T_air) * k_em/k_abs (LTE: ratio = 1).
+
+    The ratio threshold must keep dtau^2 in NORMAL float range (the division
+    JVP squares the denominator): 1e-16 in f32 (emitted radiance below
+    B*1e-16 is far under any sensor noise floor), 1e-150 in f64.
+    """
     B = planck_nu(nu_grid[None, None, :], cg.T_air[:, :, None])
-    tiny = jnp.asarray(1e-300 if dtau.dtype == jnp.float64 else 1e-30,
+    tiny = jnp.asarray(1e-150 if dtau.dtype == jnp.float64 else 1e-16,
                        dtau.dtype)
     ratio = dtau_em / jnp.maximum(dtau, tiny)
     source = B * jnp.where(dtau > tiny, ratio, 1.0)

@@ -133,6 +133,15 @@ def retrieve(
         if logger is not None:
             logger.log(rec)
 
+        # Rodgers d^2 criterion: the predicted improvement is already
+        # negligible — converged regardless of step acceptance (covers the
+        # already-at-minimum case where no step can be "accepted").
+        if float(d2) < cfg.dx2_tol * n_x:
+            if accepted:
+                x, F, chi2 = x_try, F_try, chi2_try
+            converged = True
+            break
+
         if accepted:
             rel = (chi2 - chi2_try) / max(chi2, 1e-300)
             x, F, chi2 = x_try, F_try, chi2_try
@@ -140,7 +149,7 @@ def retrieve(
             if checkpointer is not None:
                 checkpointer.save(it, x=np.asarray(x), lam=lam,
                                   history=history)
-            if rel < cfg.chi2_rel_tol or float(d2) < cfg.dx2_tol * n_x:
+            if rel < cfg.chi2_rel_tol:
                 converged = True
                 break
         else:

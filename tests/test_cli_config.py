@@ -1,0 +1,108 @@
+"""Config system + CLI driver (C18)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spectrobot_tpu.config import Config, apply_overrides, load_config
+
+
+def test_defaults_load():
+    cfg = load_config(None)
+    assert cfg.grid.n_points == 4096
+    assert cfg.scene.species == ("CO2",)
+
+
+def test_toml_and_overrides(tmp_path):
+    p = tmp_path / "cfg.toml"
+    p.write_text("""
+[grid]
+nu_min = 650.0
+nu_max = 690.0
+n_points = 512
+[scene]
+species = ["CO2", "CO"]
+n_levels = 9
+[geometry]
+tangent_heights_km = [10.0, 30.0]
+""")
+    cfg = load_config(str(p), {"grid.n_points": "1024",
+                               "compute.variant": "weideman"})
+    assert cfg.grid.nu_min == 650.0
+    assert cfg.grid.n_points == 1024
+    assert cfg.scene.species == ("CO2", "CO")
+    assert cfg.compute.variant == "weideman"
+
+
+def test_unknown_key_rejected(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text("[grid]\nnot_a_key = 3\n")
+    with pytest.raises(KeyError):
+        load_config(str(p))
+    with pytest.raises(AttributeError):
+        apply_overrides(Config(), {"grid.nope": 1})
+
+
+def test_cli_forward_runs(tmp_path, capsys):
+    from spectrobot_tpu.cli import main
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 256
+[scene]
+n_levels = 7
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [10.0, 30.0]
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 128
+[run]
+output_dir = "{tmp_path}/out"
+""")
+    rc = main(["forward", str(cfg)])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["radiance_shape"] == [2, 256]
+    with np.load(os.path.join(str(tmp_path), "out", "forward.npz")) as z:
+        I = z["radiance"]
+    assert I.shape == (2, 256) and np.isfinite(I).all() and (I > 0).all()
+
+
+def test_cli_retrieve_selftest(tmp_path, capsys):
+    from spectrobot_tpu.cli import main
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 160
+[scene]
+n_levels = 6
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [8.0, 25.0]
+n_sub = 2
+[instrument]
+enabled = true
+fwhm_cm1 = 0.4
+n_channels = 40
+[compute]
+dtype = "float64"
+chunk = 128
+[retrieval]
+max_iter = 8
+[run]
+output_dir = "{tmp_path}/out"
+""")
+    rc = main(["retrieve", str(cfg)])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["converged"] is True
+    assert os.path.exists(os.path.join(str(tmp_path), "out", "run.jsonl"))
+    assert os.path.exists(os.path.join(str(tmp_path), "out", "retrieval.npz"))
