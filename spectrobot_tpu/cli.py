@@ -109,17 +109,34 @@ def cmd_forward(cfg) -> dict:
     planet, atm, dl, species_names, nu, W = build_scene(cfg)
     kw = dict(variant=cfg.compute.variant, cutoff_cm1=cfg.compute.cutoff_cm1,
               chunk=cfg.compute.chunk)
+    use_pallas = (cfg.compute.use_pallas
+                  and jax.devices()[0].platform == "tpu")
     t0 = time.time()
     if cfg.geometry.mode == "limb":
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)
         cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
-        I = jax.jit(lambda: limb_radiance(nu, dl, cg, **kw))()
+        if use_pallas:
+            from spectrobot_tpu.forward.limb import limb_radiance_pallas
+            I = limb_radiance_pallas(nu, dl, cg,
+                                     cutoff_cm1=cfg.compute.cutoff_cm1)
+        else:
+            I = jax.jit(lambda: limb_radiance(nu, dl, cg, **kw))()
     else:
         sec = jnp.asarray(cfg.geometry.sec_theta, nu.dtype)
         cg = nadir_path_cg(atm, species_names, sec, cfg.geometry.n_sub)
-        I = jax.jit(lambda: nadir_radiance(nu, dl, cg, cfg.geometry.t_surface,
-                                           **kw))()
+        if use_pallas:
+            from spectrobot_tpu.forward.limb import limb_radiance_pallas
+            from spectrobot_tpu.ops.planck import planck_nu
+            I_bg = jnp.broadcast_to(
+                planck_nu(nu, cfg.geometry.t_surface).astype(jnp.float32),
+                (len(cfg.geometry.sec_theta), nu.shape[0]))
+            I = limb_radiance_pallas(nu, dl, cg, I_background=I_bg,
+                                     cutoff_cm1=cfg.compute.cutoff_cm1)
+        else:
+            I = jax.jit(lambda: nadir_radiance(nu, dl, cg,
+                                               cfg.geometry.t_surface,
+                                               **kw))()
     if W is not None:
         I = apply_ils(I, W)
     I = np.asarray(jax.block_until_ready(I))
@@ -217,6 +234,15 @@ def cmd_info() -> dict:
 
 def main(argv=None) -> int:
     from spectrobot_tpu.config import load_config
+
+    # Persistent compile cache: first compile on this image's TPU tunnel is
+    # minutes; cached reruns of the same shapes are interactive.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     p = argparse.ArgumentParser(prog="spectrobot_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -100,6 +100,84 @@ def layer_optics(
     return optics_from_tau(nu_grid, cg, dtau, dtau_em)
 
 
+def _tau_prologue(lines: DeviceLines, cg: PathCG,
+                  nlte: Optional[DeviceNLTE]):
+    """Vectorised stage-1: CG states -> flat per-(ray*layer) kernel inputs.
+
+    Returns (nu_c, scale_x, y) [B, L] and amps [B, 2, L], B = R*NL.
+    """
+    R, NL, S = cg.u.shape
+    lay_ids = jnp.arange(NL, dtype=jnp.int32)
+
+    def one(u_sp, T_sp, p_sp, ps_sp, T_air, lay_idx):
+        sp = lines.species_idx
+        u_line_cm2 = u_sp[sp] * 1.0e-4
+        w_abs, w_em = weights_for_layer(nlte, lines, lay_idx, T_air)
+        amps = jnp.stack([w_abs * u_line_cm2, w_em * u_line_cm2])
+        kl = line_kernel_inputs(lines, T_sp[sp], p_sp[sp], ps_sp[sp], amps)
+        return kl.nu_c, kl.scale_x, kl.y, kl.amps
+
+    per_layer = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
+    per_ray = jax.vmap(per_layer, in_axes=(0, 0, 0, 0, 0, None))
+    nu_c, sx, y, amps = per_ray(cg.u, cg.T_sp, cg.p_sp, cg.p_self_sp,
+                                cg.T_air, lay_ids)
+    L = lines.n_lines
+    return (nu_c.reshape(R * NL, L), sx.reshape(R * NL, L),
+            y.reshape(R * NL, L), amps.reshape(R * NL, 2, L))
+
+
+def layer_tau_pallas(
+    nu_grid: jnp.ndarray,
+    lines: DeviceLines,
+    cg: PathCG,
+    nlte: Optional[DeviceNLTE] = None,
+    *,
+    cutoff_cm1: Optional[float] = 25.0,
+    tile_p: int = 256,
+    block_l: int = 256,
+    interpret: bool = False,
+):
+    """Pallas-kernel stage 2 for the whole (ray x layer) batch: ONE
+    pallas_call covers every layer of every ray (SURVEY.md M2/M3 production
+    path).  Host-side block windows come from the unshifted line centers, so
+    this entry point runs OUTSIDE jit (prologue and kernel are jitted
+    internally).  Returns (dtau, dtau_em) [R, NL, P] float32."""
+    from spectrobot_tpu.ops.pallas_opacity import accumulate_pallas_batch
+    import numpy as np
+
+    R, NL, S = cg.u.shape
+    prologue = jax.jit(_tau_prologue)
+    nu_c, sx, y, amps = prologue(lines, cg, nlte)
+    out = accumulate_pallas_batch(
+        nu_grid, np.asarray(lines.nu0), nu_c, sx, y, amps,
+        tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
+        interpret=interpret)                              # [B, 2, P]
+    P = nu_grid.shape[0]
+    out = out.reshape(R, NL, 2, P)
+    return out[:, :, 0, :], out[:, :, 1, :]
+
+
+def limb_radiance_pallas(
+    nu_grid: jnp.ndarray,
+    lines: DeviceLines,
+    cg: PathCG,
+    nlte: Optional[DeviceNLTE] = None,
+    I_background: Optional[jnp.ndarray] = None,
+    **kw,
+) -> jnp.ndarray:
+    """Full limb/nadir radiance with the Pallas opacity kernel (call outside
+    jit; the RT epilogue is jitted internally)."""
+    dtau, dtau_em = layer_tau_pallas(nu_grid, lines, cg, nlte, **kw)
+
+    @jax.jit
+    def epilogue(cg_, dtau_, dtau_em_, bg):
+        optics = optics_from_tau(nu_grid.astype(dtau_.dtype), cg_, dtau_,
+                                 dtau_em_)
+        return path_radiance(optics, cg_, bg)
+
+    return epilogue(cg, dtau, dtau_em, I_background)
+
+
 def path_radiance(
     optics: LayerOptics,
     cg: PathCG,

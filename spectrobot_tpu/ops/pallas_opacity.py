@@ -36,12 +36,42 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spectrobot_tpu.constants import INV_SQRT_PI
 from spectrobot_tpu.ops.opacity import KernelLines
 from spectrobot_tpu.ops.voigt import wofz_humlicek4
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _wr_region1(x, y):
+    """Humlicek region-1 real part (valid for s = |x|+y >= 15): ~12 flops,
+    no transcendentals.  Re w = c * y (0.5 + x^2 + y^2) / |0.5 + t^2|^2.
+    EXACTLY the formula w4 selects pointwise in region 1, so block-level
+    dispatch keeps bit parity with the full evaluator."""
+    y2 = y * y
+    a = 0.5 + y2 - x * x
+    b = 2.0 * x * y
+    return INV_SQRT_PI * y * (0.5 + y2 + x * x) / (a * a + b * b)
+
+
+def _wr_tile(x, y, tile_is_far):
+    """Faddeeva real part for one (TILE_P x BLOCK_L) tile with block-level
+    region dispatch: far tiles (every pair provably in Humlicek region 1)
+    take the 12-flop branch; others run the full branchless w4.
+
+    The far bound is conservative: s >= gap*min(sx) + min(y) over the block,
+    computed by the CALLER from the tile/block extremes (both sorted).
+    """
+    def far(_):
+        return _wr_region1(x, y)
+
+    def near(_):
+        wr, _ = wofz_humlicek4(x, y)
+        return wr
+
+    return jax.lax.cond(tile_is_far, far, near, None)
 
 
 def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
@@ -66,7 +96,13 @@ def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
         dnu = nu_ref[:, :] - nuc_ref[:, :]            # [TILE_P, BLOCK_L]
         x = dnu * sx_ref[:, :]
         y = jnp.broadcast_to(y_ref[:, :], x.shape)
-        wr, _ = wofz_humlicek4(x, y)
+        # Block-level region dispatch (lines and grid both sorted):
+        np_ = nu_ref.shape[0]
+        gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0] - nu_ref[np_ - 1, 0],
+                                      nu_ref[0, 0] - nuc_ref[0, nuc_ref.shape[1] - 1]),
+                          0.0)
+        s_min = gap * jnp.min(sx_ref[:, :]) + jnp.min(y_ref[:, :])
+        wr = _wr_tile(x, y, s_min >= 15.0)
         if cutoff is not None:
             wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
         # Reduction over lines on the MXU:
@@ -147,6 +183,145 @@ def _accumulate_padded(nu2d, nuc2d, sx2d, y2d, amps, starts, counts,
     return out
 
 
+def _batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
+                  amps_ref, out_ref, *, cutoff: Optional[float], n_out: int):
+    """Batched variant: one batch element (ray x layer) per leading grid dim.
+
+    nu_ref: [TILE_P, 1]; nuc/sx/y_ref: [1, 1, BLOCK_L]; amps_ref:
+    [1, n_out, BLOCK_L]; out_ref: [1, n_out, TILE_P].
+    """
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0, :, :] = jnp.zeros_like(out_ref)[0]
+
+    @pl.when(j < nblk_ref[i])
+    def _accum():
+        dnu = nu_ref[:, :] - nuc_ref[0, :, :]
+        x = dnu * sx_ref[0, :, :]
+        y = jnp.broadcast_to(y_ref[0, :, :], x.shape)
+        np_ = nu_ref.shape[0]
+        gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0, 0] - nu_ref[np_ - 1, 0],
+                                      nu_ref[0, 0] - nuc_ref[0, 0, nuc_ref.shape[2] - 1]),
+                          0.0)
+        s_min = gap * jnp.min(sx_ref[0, :, :]) + jnp.min(y_ref[0, :, :])
+        wr = _wr_tile(x, y, s_min >= 15.0)
+        if cutoff is not None:
+            wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
+        out_ref[0, :, :] += jax.lax.dot_general(
+            amps_ref[0, :, :], wr,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_blocks", "tile_p", "block_l", "cutoff_cm1",
+                     "interpret"))
+def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts,
+                             *, max_blocks, tile_p, block_l, cutoff_cm1,
+                             interpret):
+    """nuc/sx/y: [B, Lp]; amps: [B, n_out, Lp]; nu2d: [Pp, 1].
+    Returns [B, n_out, Pp]."""
+    B, Lp = nuc.shape
+    n_out = amps.shape[1]
+    Pp = nu2d.shape[0]
+    n_tiles = Pp // tile_p
+    n_blocks = Lp // block_l
+    grid = (B, n_tiles, int(max_blocks))
+
+    def nu_map(b, i, j, nblk, st):
+        return (i, 0)
+
+    def line_map(b, i, j, nblk, st):
+        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
+
+    def amps_map(b, i, j, nblk, st):
+        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, 1), nu_map),
+            pl.BlockSpec((1, 1, block_l), line_map),
+            pl.BlockSpec((1, 1, block_l), line_map),
+            pl.BlockSpec((1, 1, block_l), line_map),
+            pl.BlockSpec((1, n_out, block_l), amps_map),
+        ],
+        out_specs=pl.BlockSpec((1, n_out, tile_p),
+                               lambda b, i, j, *_: (b, 0, i)),
+    )
+    kern = functools.partial(_batch_kernel, cutoff=cutoff_cm1, n_out=n_out)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, n_out, Pp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, starts, nu2d, nuc.reshape(B, 1, Lp), sx.reshape(B, 1, Lp),
+      y.reshape(B, 1, Lp), amps)
+
+
+def accumulate_pallas_batch(
+    nu_grid: jnp.ndarray,
+    nu0_host: np.ndarray,
+    nu_c: jnp.ndarray,
+    scale_x: jnp.ndarray,
+    y: jnp.ndarray,
+    amps: jnp.ndarray,
+    *,
+    tile_p: int = 256,
+    block_l: int = 256,
+    cutoff_cm1: Optional[float] = 25.0,
+    shift_margin_cm1: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched stage-2 accumulation: nu_c/scale_x/y [B, L], amps
+    [B, n_out, L] -> [B, n_out, P] float32.
+
+    The block windows are computed ONCE from the host-known UNSHIFTED line
+    centers ``nu0_host`` (sorted, C1), widened by ``shift_margin_cm1`` to
+    cover any pressure shift, and shared across the batch — the in-kernel
+    |dnu| <= cutoff mask does the exact per-element windowing, so results
+    match the jnp path to roundoff.
+    """
+    nu_host = np.asarray(nu_grid, dtype=np.float32)
+    nu0_host = np.asarray(nu0_host, dtype=np.float32)
+    P = len(nu_host)
+    B, L = nu_c.shape
+    n_out = int(amps.shape[1])
+
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    big = (nu_host.max() if P else 0.0) + 1e6
+    nu_pad = np.full(Pp, big, dtype=np.float32)
+    nu_pad[:P] = nu_host
+    far = (nu0_host.max() if L else 0.0) + 1e7
+    nu0_pad = np.full(Lp, far, dtype=np.float32)
+    nu0_pad[:L] = nu0_host
+
+    win_cut = None if cutoff_cm1 is None else cutoff_cm1 + shift_margin_cm1
+    starts, counts = _block_windows(nu_pad, nu0_pad, tile_p, block_l, win_cut)
+    max_blocks = max(int(counts.max()) if counts.size else 1, 1)
+
+    def padl(a, fill):
+        out = jnp.full((B, Lp), fill, dtype=jnp.float32)
+        return out.at[:, :L].set(a.astype(jnp.float32))
+
+    nu2d = jnp.asarray(nu_pad).reshape(Pp, 1)
+    amps_p = jnp.zeros((B, n_out, Lp), jnp.float32).at[:, :, :L].set(
+        amps.astype(jnp.float32))
+    out = _accumulate_batch_padded(
+        nu2d, padl(nu_c, far), padl(scale_x, 1e6), padl(y, 1e6), amps_p,
+        jnp.asarray(starts), jnp.asarray(counts), max_blocks=max_blocks,
+        tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
+        interpret=interpret)
+    return out[:, :, :P]
+
+
 def accumulate_pallas(
     nu_grid: jnp.ndarray,
     kl: KernelLines,
@@ -192,8 +367,10 @@ def accumulate_pallas(
 
     nu2d = jnp.asarray(nu_pad).reshape(Pp, 1)
     nuc2d = pad_line(kl.nu_c, far).reshape(1, Lp)
-    sx2d = pad_line(kl.scale_x, 1.0).reshape(1, Lp)
-    y2d = pad_line(kl.y, 1.0).reshape(1, Lp)
+    # Pad fills are FAR lines (huge sx/y) so block minima reflect real lines
+    # and the region-dispatch bound stays tight; amps are 0 so they add 0.
+    sx2d = pad_line(kl.scale_x, 1e6).reshape(1, Lp)
+    y2d = pad_line(kl.y, 1e6).reshape(1, Lp)
     amps = jnp.zeros((n_out, Lp), jnp.float32).at[:, :L].set(
         kl.amps.astype(jnp.float32))
 

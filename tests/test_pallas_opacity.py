@@ -61,3 +61,36 @@ def test_block_windows_dense():
     nuc = np.linspace(600, 700, 512).astype(np.float32)
     starts, counts = _block_windows(nu, nuc, 256, 256, None)
     assert np.all(starts == 0) and np.all(counts == 2)
+
+
+def test_batched_interpret_parity():
+    # The production path: one pallas_call over the whole (ray x layer)
+    # batch, windows from unshifted nu0 + shift margin.
+    import jax
+    from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+    from spectrobot_tpu.data.synth import co2_15um_band
+    from spectrobot_tpu.forward.geometry import limb_path_cg
+    from spectrobot_tpu.forward.limb import (
+        layer_tau, layer_tau_pallas, limb_radiance, limb_radiance_pallas,
+    )
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    atm = mars_standard_atmosphere(n_lev=9, z_top=70e3)
+    atm = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, atm)
+    dl = device_lines_from_linelist(co2_15um_band(j_max=12), [(2, 1)],
+                                    dtype=jnp.float32)
+    nu = jnp.asarray(np.linspace(655, 680, 500), jnp.float32)
+    cg = limb_path_cg(atm, ["CO2"], jnp.asarray([8e3, 30e3], jnp.float32),
+                      MARS, n_sub=2)
+    ref = layer_tau(nu, dl, cg, None, chunk=128, cutoff_cm1=25.0)
+    got = layer_tau_pallas(nu, dl, cg, None, cutoff_cm1=25.0, interpret=True)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        np.testing.assert_allclose(g, r, rtol=3e-5,
+                                   atol=np.abs(r).max() * 1e-6)
+    I_ref = np.asarray(jax.jit(
+        lambda: limb_radiance(nu, dl, cg, chunk=128))())
+    I_got = np.asarray(limb_radiance_pallas(nu, dl, cg, interpret=True))
+    np.testing.assert_allclose(I_got, I_ref, rtol=3e-5,
+                               atol=I_ref.max() * 1e-5)
