@@ -200,15 +200,44 @@ def _parse_float_col(raw: np.ndarray) -> np.ndarray:
     return s.astype(np.float64)
 
 
-def parse_par_text(text: str) -> LineList:
-    """Parse the contents of a HITRAN ``.par`` file into a :class:`LineList`."""
+def _attach_mass(cols: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Denormalise isotopologue mass per line for kernel consumption."""
+    mol_id = cols["mol_id"]
+    iso_id = cols["iso_id"]
+    n = len(mol_id)
+    mass = np.zeros(n, dtype=np.float64)
+    for m in np.unique(mol_id):
+        mol = MOLECULES.get(int(m))
+        for i in np.unique(iso_id[mol_id == m]):
+            sel = (mol_id == m) & (iso_id == i)
+            if mol is not None and int(i) in mol.isotopologues:
+                mass[sel] = mol.isotopologues[int(i)].mass_amu
+            else:
+                mass[sel] = 2.0 * float(m) + 16.0  # crude fallback, flagged in tests
+    cols["mass_amu"] = mass
+    return cols
+
+
+def parse_par_text(text: str, use_native: str = "auto") -> LineList:
+    """Parse the contents of a HITRAN ``.par`` file into a :class:`LineList`.
+
+    use_native: "auto" (C++ parser when built), "never", or "always".
+    """
+    if use_native in ("auto", "always"):
+        from spectrobot_tpu.data import hitran_native
+        if hitran_native.available():
+            cols = hitran_native.parse_par_bytes(text.encode("latin-1"))
+            return LineList.from_columns(_attach_mass(cols))
+        if use_native == "always":
+            raise RuntimeError("native parser requested but not built "
+                               "(run `make -C native`)")
     lines = [ln for ln in text.splitlines() if len(ln) >= 67 and ln.strip()]
     return _parse_records(lines)
 
 
-def parse_par_file(path: str) -> LineList:
+def parse_par_file(path: str, use_native: str = "auto") -> LineList:
     with open(path, "r") as f:
-        return parse_par_text(f.read())
+        return parse_par_text(f.read(), use_native=use_native)
 
 
 def _parse_records(records: List[str]) -> LineList:
@@ -249,18 +278,7 @@ def _parse_records(records: List[str]) -> LineList:
         "quanta_local_l": np.char.decode(col(113, 127), "latin-1"),
     }
 
-    # Denormalise isotopologue mass per line for kernel consumption.
-    mass = np.zeros(n, dtype=np.float64)
-    for m in np.unique(mol_id):
-        mol = MOLECULES.get(int(m))
-        for i in np.unique(iso_id[mol_id == m]):
-            sel = (mol_id == m) & (iso_id == i)
-            if mol is not None and int(i) in mol.isotopologues:
-                mass[sel] = mol.isotopologues[int(i)].mass_amu
-            else:
-                mass[sel] = 2.0 * float(m) + 16.0  # crude fallback, flagged in tests
-    cols["mass_amu"] = mass
-    return LineList.from_columns(cols)
+    return LineList.from_columns(_attach_mass(cols))
 
 
 # ---------------------------------------------------------------------------

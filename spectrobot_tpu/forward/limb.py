@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from spectrobot_tpu.data.nlte import DeviceNLTE, weights_for_layer
 from spectrobot_tpu.forward.geometry import PathCG
 from spectrobot_tpu.forward.rt import radiance_along_ray
-from spectrobot_tpu.ops.opacity import accumulate_jnp, line_kernel_inputs
+from spectrobot_tpu.ops.opacity import line_kernel_inputs
 from spectrobot_tpu.ops.planck import planck_nu
 from spectrobot_tpu.ops.strengths import DeviceLines
 
@@ -45,6 +45,7 @@ def layer_tau(
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
+    analytic_jvp: bool = True,
 ):
     """Raw per-(ray, layer) line sums: (dtau, dtau_em), each [R, NL, P].
 
@@ -52,8 +53,23 @@ def layer_tau(
     across the 'line' axis before the (nonlinear) source assembly — the
     split that makes C23 line-parallelism exact (SURVEY.md C23).
     """
+    from spectrobot_tpu.ops.opacity import make_accumulate_op
+
     R, NL, S = cg.u.shape
     lay_ids = jnp.arange(NL, dtype=jnp.int32)
+    # Accumulation op with ANALYTIC custom JVP: under jacfwd, the Voigt basis
+    # is shared across every Jacobian column (SURVEY.md 8.4 hard part 3).
+    # analytic_jvp=False falls back to plain-AD accumulation (reverse-mode).
+    if analytic_jvp:
+        acc_op = make_accumulate_op(chunk=chunk, variant=variant,
+                                    cutoff_cm1=cutoff_cm1)
+    else:
+        from spectrobot_tpu.ops.opacity import accumulate_jnp
+        from spectrobot_tpu.ops.opacity import KernelLines as _KL
+
+        def acc_op(nu, nc, sx, yy, am):
+            return accumulate_jnp(nu, _KL(nc, sx, yy, am), chunk=chunk,
+                                  variant=variant, cutoff_cm1=cutoff_cm1)
 
     def one(u_sp, T_sp, p_sp, ps_sp, T_air, lay_idx):
         sp = lines.species_idx
@@ -64,8 +80,7 @@ def layer_tau(
         w_abs, w_em = weights_for_layer(nlte, lines, lay_idx, T_air)
         amps = jnp.stack([w_abs * u_line_cm2, w_em * u_line_cm2])
         kl = line_kernel_inputs(lines, T_line, p_line, ps_line, amps)
-        out = accumulate_jnp(nu_grid, kl, chunk=chunk, variant=variant,
-                             cutoff_cm1=cutoff_cm1)
+        out = acc_op(nu_grid, kl.nu_c, kl.scale_x, kl.y, kl.amps)
         return out[0], out[1]                    # dtau, "emission depth"
 
     per_layer = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))

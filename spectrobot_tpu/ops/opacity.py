@@ -135,6 +135,181 @@ def accumulate_jnp(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Analytic custom JVP for the accumulation (SURVEY.md 8.4 hard part 3;
+# PAPERS.md:9 "analytic Voigt derivatives")
+# ---------------------------------------------------------------------------
+#
+# d/dz w(z) = -2 z w + 2i/sqrt(pi) gives closed forms
+#   dK/dx = -2 (x wr - y wi),   dK/dy = 2 (x wi + y wr) - 2/sqrt(pi)
+# so the tangent of out[o,p] = sum_i amps[o,i] K(x_ip, y_i) decomposes over
+# SIX per-pair basis functions {wr, wi, x wr, x wi, x^2 wr, mask} with
+# per-line coefficient vectors.  The basis is tangent-INDEPENDENT: under
+# jax.jacfwd (vmap over tangents) it is evaluated once and every Jacobian
+# column is a cheap MXU contraction against it — the full analytic Jacobian
+# of the line sum costs ~2 extra Voigt passes instead of n_params passes.
+
+TWO_INV_SQRT_PI = 1.1283791670955126
+
+
+def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
+                       d_nu_c, d_sx, d_y, d_amps,
+                       *, chunk, variant, cutoff_cm1):
+    """Tangent of accumulate for one tangent vector (vmap-friendly: the
+    basis evaluation does not touch tangent inputs)."""
+    dt = nu_grid.dtype
+    zeros = lambda a: jnp.zeros_like(a)
+    d_nu_c = zeros(nu_c) if d_nu_c is None else d_nu_c
+    d_sx = zeros(sx) if d_sx is None else d_sx
+    d_y = zeros(y) if d_y is None else d_y
+    d_amps = zeros(amps) if d_amps is None else d_amps
+    n_out, L = amps.shape
+
+    Lp = ((L + chunk - 1) // chunk) * chunk
+    pad = Lp - L
+    if pad:
+        nu_c = jnp.pad(nu_c, (0, pad))
+        sx = jnp.pad(sx, (0, pad), constant_values=1.0)
+        y = jnp.pad(y, (0, pad), constant_values=1.0)
+        amps = jnp.pad(amps, ((0, 0), (0, pad)))
+        d_nu_c = jnp.pad(d_nu_c, (0, pad))
+        d_sx = jnp.pad(d_sx, (0, pad))
+        d_y = jnp.pad(d_y, (0, pad))
+        d_amps = jnp.pad(d_amps, ((0, 0), (0, pad)))
+    n_chunks = Lp // chunk
+    resh = lambda a: a.reshape(n_chunks, chunk)
+    stacked = (resh(nu_c), resh(sx), resh(y),
+               amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2),
+               resh(d_nu_c), resh(d_sx), resh(d_y),
+               d_amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2))
+
+    wofz = (voigt_mod.wofz_humlicek4 if variant == "humlicek4"
+            else voigt_mod.wofz_weideman)
+
+    def body(acc, ch):
+        nc, s, yy, am, dnc, dsx, dy, dam = ch
+        dnu = nu_grid[None, :] - nc[:, None]
+        x = s[:, None] * dnu
+        ybc = jnp.broadcast_to(yy[:, None], x.shape)
+        wr, wi = wofz(x, ybc)
+        if cutoff_cm1 is not None:
+            m = (jnp.abs(dnu) <= cutoff_cm1).astype(dt)
+            wr = wr * m
+            wi = wi * m
+        else:
+            m = jnp.ones_like(wr)
+        # per-line tangent combos
+        r = dsx / s                      # [c]
+        sdn = s * dnc                    # [c]
+        A1 = dam + am * (2.0 * dy * yy)[None, :]
+        A2 = am * (-2.0 * sdn * yy)[None, :]
+        A3 = am * (2.0 * sdn)[None, :]
+        A4 = am * (2.0 * (r * yy + dy))[None, :]
+        A5 = am * (-2.0 * r)[None, :]
+        A6 = am * (-TWO_INV_SQRT_PI * dy)[None, :]
+        xwr = x * wr
+        acc = acc + (jnp.einsum("oc,cp->op", A1, wr)
+                     + jnp.einsum("oc,cp->op", A2, wi)
+                     + jnp.einsum("oc,cp->op", A3, xwr)
+                     + jnp.einsum("oc,cp->op", A4, x * wi)
+                     + jnp.einsum("oc,cp->op", A5, x * xwr)
+                     + jnp.einsum("oc,cp->op", A6, m))
+        return acc, None
+
+    init = jnp.zeros((n_out, nu_grid.shape[0]), dtype=dt)
+    out, _ = jax.lax.scan(body, init, stacked)
+    return out
+
+
+def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
+                       *, chunk, variant, cutoff_cm1):
+    """Explicit transpose of :func:`_tangent_via_basis` in its tangent
+    arguments: cotangent [n_out, P] -> cotangents of (nu_c, sx, y, amps).
+    Gives reverse-mode AD the same shared-basis economics as forward mode.
+    """
+    dt = nu_grid.dtype
+    n_out, L = amps.shape
+    Lp = ((L + chunk - 1) // chunk) * chunk
+    pad = Lp - L
+    if pad:
+        nu_c = jnp.pad(nu_c, (0, pad))
+        sx = jnp.pad(sx, (0, pad), constant_values=1.0)
+        y = jnp.pad(y, (0, pad), constant_values=1.0)
+        amps = jnp.pad(amps, ((0, 0), (0, pad)))
+    n_chunks = Lp // chunk
+    resh = lambda a: a.reshape(n_chunks, chunk)
+    stacked = (resh(nu_c), resh(sx), resh(y),
+               amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2))
+
+    wofz = (voigt_mod.wofz_humlicek4 if variant == "humlicek4"
+            else voigt_mod.wofz_weideman)
+
+    def body(_, ch):
+        nc, s, yy, am = ch
+        dnu = nu_grid[None, :] - nc[:, None]
+        x = s[:, None] * dnu
+        ybc = jnp.broadcast_to(yy[:, None], x.shape)
+        wr, wi = wofz(x, ybc)
+        if cutoff_cm1 is not None:
+            m = (jnp.abs(dnu) <= cutoff_cm1).astype(dt)
+            wr = wr * m
+            wi = wi * m
+        else:
+            m = jnp.ones_like(wr)
+        xwr = x * wr
+        # Abar_k[o, c] = <ct, basis_k> along p
+        Ab = lambda B: jnp.einsum("op,cp->oc", ct, B)
+        Ab1, Ab2, Ab3 = Ab(wr), Ab(wi), Ab(xwr)
+        Ab4, Ab5, Ab6 = Ab(x * wi), Ab(x * xwr), Ab(m)
+        so = lambda M: jnp.sum(M * am, axis=0)       # sum over out-rows
+        ct_amps = Ab1
+        ct_y = so(Ab1) * (2.0 * yy) + so(Ab4) * 2.0 - so(Ab6) * TWO_INV_SQRT_PI
+        ct_nc = so(Ab2) * (-2.0 * s * yy) + so(Ab3) * (2.0 * s)
+        ct_sx = (so(Ab4) * (2.0 * yy) - so(Ab5) * 2.0) / s
+        return None, (ct_nc, ct_sx, ct_y, ct_amps)
+
+    _, (ct_nc, ct_sx, ct_y, ct_amps) = jax.lax.scan(body, None, stacked)
+    unr = lambda a: a.reshape(Lp)[:L]
+    ct_amps = ct_amps.transpose(1, 0, 2).reshape(n_out, Lp)[:, :L]
+    return unr(ct_nc), unr(ct_sx), unr(ct_y), ct_amps
+
+
+def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
+                       cutoff_cm1: Optional[float] = 25.0):
+    """Build accumulate(nu_grid, nu_c, scale_x, y, amps) -> [n_out, P] with
+    the ANALYTIC custom JVP above.  nu_grid is non-differentiated (static
+    instrument grid).
+
+    FORWARD-mode only: jax.jacfwd / jax.jvp get the shared-basis analytic
+    tangent (one Voigt pass for the whole Jacobian).  Reverse-mode (grad /
+    jacrev) is NOT supported through this op in current JAX — neither
+    ``linear_call`` nor ``custom_transpose`` has a batching rule, and the
+    chunked tangent scan does not auto-transpose.  Code paths that need
+    reverse-mode pass ``analytic_jvp=False`` to use plain-AD accumulation
+    (:func:`accumulate_jnp`); the analytic transpose itself is implemented
+    and validated (:func:`_tangent_transpose`) for when JAX composes.
+    """
+    kw = dict(chunk=chunk, variant=variant, cutoff_cm1=cutoff_cm1)
+
+    def _primal(nu_grid, nu_c, sx, y, amps):
+        return accumulate_jnp(nu_grid, KernelLines(nu_c, sx, y, amps), **kw)
+
+    @jax.custom_jvp
+    def acc(nu_grid, nu_c, sx, y, amps):
+        return _primal(nu_grid, nu_c, sx, y, amps)
+
+    @acc.defjvp
+    def acc_jvp(primals, tangents):
+        nu_grid, nu_c, sx, y, amps = primals
+        _, d_nu_c, d_sx, d_y, d_amps = tangents
+        primal_out = _primal(nu_grid, nu_c, sx, y, amps)
+        tangent_out = _tangent_via_basis(
+            nu_grid, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps, **kw)
+        return primal_out, tangent_out
+
+    return acc
+
+
 def cross_sections(
     nu_grid: jnp.ndarray,
     lines: DeviceLines,
@@ -147,18 +322,28 @@ def cross_sections(
     chunk: int = 256,
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
+    analytic_jvp: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Absorption & emission cross sections [cm^2/molec] for one homogeneous
     state — thin wrapper over the two-stage API (kept as the stable public
-    interface; SURVEY.md C6)."""
+    interface; SURVEY.md C6).
+
+    analytic_jvp=True (default) routes through the shared-basis analytic
+    JVP op — forward-mode AD only; pass False for reverse-mode (grad).
+    """
     L = lines.n_lines
     ones = jnp.ones((L,), dtype=jnp.result_type(lines.sw))
     wa = ones if w_abs is None else w_abs
     we = ones if w_em is None else w_em
     kl = line_kernel_inputs(lines, T, p_pa, p_self_pa,
                             amp_weights=jnp.stack([wa, we]))
-    out = accumulate_jnp(nu_grid, kl, chunk=chunk, variant=variant,
-                         cutoff_cm1=cutoff_cm1)
+    if analytic_jvp:
+        op = make_accumulate_op(chunk=chunk, variant=variant,
+                                cutoff_cm1=cutoff_cm1)
+        out = op(nu_grid, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+    else:
+        out = accumulate_jnp(nu_grid, kl, chunk=chunk, variant=variant,
+                             cutoff_cm1=cutoff_cm1)
     return out[0], out[1]
 
 

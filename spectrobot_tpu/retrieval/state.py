@@ -60,6 +60,7 @@ def build_forward(
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
+    analytic_jvp: bool = True,
 ) -> Callable[[Dict], jnp.ndarray]:
     """Build F: state -> y.
 
@@ -68,7 +69,8 @@ def build_forward(
     the fine grid to instrument channels (None = raw fine-grid radiances).
     Output y is flattened [n_ray * n_chan].
     """
-    kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk)
+    kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
+              analytic_jvp=analytic_jvp)
 
     def forward(state: Dict) -> jnp.ndarray:
         atm = apply_state(base_atm, state)

@@ -67,6 +67,12 @@ def test_full_limb_jvp_and_vjp_f32_finite():
 
     _, t = jax.jvp(model, (x0,), (jnp.ones_like(x0),))
     assert np.isfinite(np.asarray(t)).all()
-    g = jax.grad(lambda T: jnp.sum(model(T)))(x0)
+
+    def model_ad(T):
+        cg = limb_path_cg(atm.with_temperature(T), ["CO2"], h_t, MARS,
+                          n_sub=2)
+        return limb_radiance(nu, dl, cg, chunk=128, analytic_jvp=False)
+
+    g = jax.grad(lambda T: jnp.sum(model_ad(T)))(x0)
     assert np.isfinite(np.asarray(g)).all()
     assert np.any(np.asarray(g) != 0)

@@ -13,10 +13,10 @@ from spectrobot_tpu.ops.opacity import cross_sections_batch as _cross_sections_b
 # jit wrappers (persistent-cache friendly on this slow-compile CPU image)
 cross_sections = jax.jit(
     _cross_sections_raw,
-    static_argnames=("chunk", "variant", "cutoff_cm1"))
+    static_argnames=("chunk", "variant", "cutoff_cm1", "analytic_jvp"))
 cross_sections_batch = jax.jit(
     _cross_sections_batch_raw,
-    static_argnames=("chunk", "variant", "cutoff_cm1"))
+    static_argnames=("chunk", "variant", "cutoff_cm1", "analytic_jvp"))
 from spectrobot_tpu.ops.strengths import device_lines_from_linelist
 
 SPECIES = [(2, 1)]
@@ -91,7 +91,8 @@ def test_jit_and_grad():
 
     @jax.jit
     def total_od(T):
-        a, _ = cross_sections(nu, dl, T, 300.0)
+        # reverse-mode needs the plain-AD path (analytic JVP is fwd-only)
+        a, _ = cross_sections(nu, dl, T, 300.0, analytic_jvp=False)
         return jnp.sum(a)
 
     # T0 must sit INSIDE a Q-table interval (the table interp is piecewise
