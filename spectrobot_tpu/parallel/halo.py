@@ -1,0 +1,157 @@
+"""Wavenumber-domain decomposition with wing HALO EXCHANGE (C22/C25).
+
+BASELINE.json:5: "domain-decomposing the wavenumber grid and line list per
+chip, overlapping cross-shard line-wing halo exchange with on-chip opacity
+accumulation".  This module is that decomposition in its XLA-collective
+form:
+
+* The fine grid is sharded over the ``nu`` mesh axis; every LINE is OWNED by
+  the shard containing its center (host-side partition of the sorted list).
+* A line within ``cutoff`` of a shard boundary also contributes to the
+  neighbouring shard's chunk (its wing crosses the boundary).  Instead of a
+  line-axis psum (O(n_shards) traffic, parallel/sharded.py), each shard
+  exchanges its line PARAMETERS with its two ring neighbours via
+  ``lax.ppermute`` — neighbour-only ICI traffic, independent of ring size —
+  and accumulates (own + left + right) lines on its local chunk with the
+  usual |dnu| <= cutoff mask.  XLA schedules the permutes asynchronously,
+  overlapping them with the local (bulk) accumulation — the ring-attention
+  analog of SURVEY.md C25.  The sequence axis IS the wavenumber axis.
+* Exactness requires cutoff <= chunk width (a wing reaches at most the
+  adjacent shard); asserted host-side.
+
+The in-kernel ``pltpu.make_async_remote_copy`` variant (device-initiated
+RDMA inside the Pallas kernel) is the next optimisation tier; this
+collective-permute form is mathematically identical and testable on the
+CPU-emulated mesh (SURVEY.md 5.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spectrobot_tpu.ops.opacity import KernelLines, accumulate_jnp
+
+
+class ShardedKernelLines(NamedTuple):
+    """Stage-2 kernel inputs partitioned by line OWNER shard: every array has
+    a leading shard axis [n_shards, Lmax]; slots beyond a shard's real line
+    count are zero-amplitude pads."""
+    nu_c: jnp.ndarray     # [n_shards, Lmax]
+    scale_x: jnp.ndarray  # [n_shards, Lmax]
+    y: jnp.ndarray        # [n_shards, Lmax]
+    amps: jnp.ndarray     # [n_shards, n_out, Lmax]
+
+
+def partition_kernel_lines(
+    kl: KernelLines, nu0_host: np.ndarray, edges: np.ndarray,
+) -> ShardedKernelLines:
+    """Host-side: assign each line to the shard whose [edges[k], edges[k+1])
+    interval contains its (unshifted) center; pad shards to a common Lmax.
+
+    nu0_host must be sorted (C1 guarantees it), so shard membership is a
+    pair of searchsorted cuts and slices stay contiguous.
+    """
+    n_shards = len(edges) - 1
+    # Clamp: lines below the first / above the last edge (wings reaching in
+    # from outside the grid) belong to the first / last shard.
+    cuts = np.concatenate([[0], np.searchsorted(nu0_host, edges[1:-1]),
+                           [len(nu0_host)]])
+    counts = np.diff(cuts)
+    Lmax = max(int(counts.max()), 1)
+    # Round up so the per-shard line axis tiles nicely.
+    Lmax = ((Lmax + 127) // 128) * 128
+
+    def pack(a, fill):
+        a = np.asarray(a)
+        out = np.full((n_shards, Lmax), fill, dtype=a.dtype)
+        for k in range(n_shards):
+            seg = a[cuts[k]:cuts[k + 1]]
+            out[k, :len(seg)] = seg
+        return out
+
+    amps = np.asarray(kl.amps)
+    n_out = amps.shape[0]
+    amps_out = np.zeros((n_shards, n_out, Lmax), dtype=amps.dtype)
+    for k in range(n_shards):
+        seg = amps[:, cuts[k]:cuts[k + 1]]
+        amps_out[k, :, :seg.shape[1]] = seg
+    return ShardedKernelLines(
+        nu_c=jnp.asarray(pack(kl.nu_c, 1e9)),
+        scale_x=jnp.asarray(pack(kl.scale_x, 1e6)),
+        y=jnp.asarray(pack(kl.y, 1e6)),
+        amps=jnp.asarray(amps_out),
+    )
+
+
+def halo_accumulate_fn(
+    mesh: Mesh,
+    *,
+    chunk: int = 256,
+    variant: str = "humlicek4",
+    cutoff_cm1: Optional[float] = 25.0,
+):
+    """Build f(nu_grid, skl) -> [n_out, P] over the mesh's ``nu`` axis with
+    neighbour halo exchange.  nu_grid sharded P('nu'); skl arrays sharded on
+    their leading shard axis (one line partition per nu shard)."""
+    n_shards = mesh.shape["nu"]
+    right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def body(nu_loc, nu_c, sx, y, amps):
+        # Leading shard axis is size 1 locally.
+        mine = KernelLines(nu_c[0], sx[0], y[0], amps[0])
+
+        def acc(kl):
+            return accumulate_jnp(nu_loc, kl, chunk=chunk, variant=variant,
+                                  cutoff_cm1=cutoff_cm1)
+
+        out = acc(mine)
+        if n_shards > 1:
+            # Wing halos: my neighbours' lines can reach my chunk.  ppermute
+            # moves each shard's line block one step around the ring; XLA
+            # overlaps the permutes with the local accumulation above.
+            # With exactly two shards, left and right neighbours coincide —
+            # exchange once or the halo double-counts.
+            perms = (right,) if n_shards == 2 else (right, left)
+            for perm in perms:
+                got = tuple(
+                    lax.ppermute(a, "nu", perm)
+                    for a in (nu_c[0], sx[0], y[0], amps[0]))
+                out = out + acc(KernelLines(*got))
+        return out
+
+    specs_lines = ShardedKernelLines(P("nu"), P("nu"), P("nu"), P("nu"))
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("nu"), specs_lines.nu_c, specs_lines.scale_x,
+                  specs_lines.y, specs_lines.amps),
+        out_specs=P(None, "nu"), check_vma=False)
+
+    def apply(nu_grid, skl: ShardedKernelLines):
+        return jax.jit(fn)(nu_grid, skl.nu_c, skl.scale_x, skl.y, skl.amps)
+
+    return apply
+
+
+def nu_shard_edges(nu_host: np.ndarray, n_shards: int,
+                   cutoff_cm1: Optional[float]) -> np.ndarray:
+    """Shard ownership edges (equal grid-point counts) + the exactness check
+    cutoff <= chunk width."""
+    P_ = len(nu_host)
+    assert P_ % n_shards == 0
+    chunk_pts = P_ // n_shards
+    edges = np.empty(n_shards + 1)
+    edges[:-1] = nu_host[::chunk_pts]
+    edges[-1] = nu_host[-1] + (nu_host[-1] - nu_host[-2])
+    if cutoff_cm1 is not None:
+        min_width = np.diff(edges).min()
+        assert cutoff_cm1 <= min_width, (
+            f"wing cutoff {cutoff_cm1} exceeds nu-shard width {min_width}: "
+            "wings would cross beyond adjacent shards")
+    return edges

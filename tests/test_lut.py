@@ -1,0 +1,75 @@
+"""(P, T) LUT cache tier (C9) vs the direct line-sum path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+from spectrobot_tpu.data.synth import co2_15um_band
+from spectrobot_tpu.forward.geometry import limb_path_cg
+from spectrobot_tpu.forward.limb import layer_tau
+from spectrobot_tpu.ops.lut import (
+    build_lut, interp_sigma, layer_tau_lut, load_lut, save_lut,
+)
+from spectrobot_tpu.ops.opacity import cross_sections
+from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+
+def _setup():
+    dl = device_lines_from_linelist(co2_15um_band(j_max=12), [(2, 1)],
+                                    dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(660.0, 674.0, 400))
+    lut = build_lut(nu, dl, n_species=1, T_min=140.0, T_max=280.0, n_T=15,
+                    p_min=1e-2, p_max=1e3, n_p=21, vmr_self=[0.95], chunk=128)
+    return dl, nu, lut
+
+
+def test_lut_matches_direct_at_nodes_and_between():
+    dl, nu, lut = _setup()
+    # Exactly at a node: equality to build accuracy.
+    T0 = float(lut.T_grid[7]); p0 = 10.0 ** float(lut.logp_grid[10])
+    direct, _ = cross_sections(nu, dl, T0, p0, p_self_pa=0.95 * p0, chunk=128)
+    got = interp_sigma(lut, T0, p0)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), rtol=1e-10)
+    # Between nodes: interpolation error only (grids chosen for ~<1%).
+    T1, p1 = 201.7, 37.3
+    direct, _ = cross_sections(nu, dl, T1, p1, p_self_pa=0.95 * p1, chunk=128)
+    got = interp_sigma(lut, T1, p1)[0]
+    d = np.asarray(direct); g = np.asarray(got)
+    denom = np.maximum(d, d.max() * 1e-4)
+    assert np.max(np.abs(g - d) / denom) < 0.05
+
+
+def test_lut_layer_tau_close_to_direct(mars_atm):
+    dl, nu, lut = _setup()
+    cg = limb_path_cg(mars_atm, ["CO2"], jnp.asarray([10e3, 30e3]), MARS,
+                      n_sub=2)
+    dtau_direct, _ = layer_tau(nu, dl, cg, None, chunk=128)
+    dtau_lut = layer_tau_lut(lut, cg)
+    d = np.asarray(dtau_direct); g = np.asarray(dtau_lut)
+    scale = d.max()
+    assert np.max(np.abs(g - d)) / scale < 0.02
+
+
+def test_lut_differentiable():
+    dl, nu, lut = _setup()
+
+    def f(T):
+        return jnp.sum(interp_sigma(lut, T, 50.0))
+
+    # T off the lattice nodes (bilinear interp has derivative kinks there).
+    T0 = 203.7
+    g = jax.grad(f)(T0)
+    eps = 0.05
+    fd = (f(T0 + eps) - f(T0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-6)
+
+
+def test_lut_round_trip(tmp_path):
+    dl, nu, lut = _setup()
+    p = str(tmp_path / "lut.npz")
+    save_lut(lut, p)
+    lut2 = load_lut(p)
+    np.testing.assert_allclose(np.asarray(lut2.sigma), np.asarray(lut.sigma))
+    got = interp_sigma(lut2, 210.0, 20.0)
+    assert np.isfinite(np.asarray(got)).all()
