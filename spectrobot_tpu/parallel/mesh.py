@@ -49,6 +49,24 @@ def make_mesh(
     return Mesh(dev_array, AXES)
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialise the multi-host JAX runtime (DCN tier, SURVEY.md section 6).
+
+    Call ONCE per process before any mesh construction; with no arguments
+    the TPU pod environment variables drive discovery.  After this,
+    ``jax.devices()`` spans the whole slice and :func:`make_mesh` shapes can
+    use every chip — no other code changes (the collectives in
+    parallel/sharded.py, halo.py and retrieval.py are axis-name based).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
