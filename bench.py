@@ -39,7 +39,7 @@ def main() -> None:
     P = 16384 if on_tpu else 2048
     L = 20480 if on_tpu else 1024
     ll = random_lines(L, 600.0, 740.0, seed=0)
-    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32, nu_ref=0.0)
     kl = line_kernel_inputs(dl, 220.0, 300.0, 100.0,
                             amp_weights=jnp.ones((2, dl.n_lines), jnp.float32))
     nu = jnp.asarray(np.linspace(640.0, 700.0, P), jnp.float32)

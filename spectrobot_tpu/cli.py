@@ -51,6 +51,7 @@ def _build_lines(cfg):
 def _build_atmosphere(cfg):
     from spectrobot_tpu.data.atmosphere import (
         PLANETS, Atmosphere, mars_standard_atmosphere,
+        titan_standard_atmosphere,
     )
     import jax.numpy as jnp
 
@@ -58,6 +59,9 @@ def _build_atmosphere(cfg):
     if cfg.scene.atmosphere == "mars_standard":
         atm = mars_standard_atmosphere(n_lev=cfg.scene.n_levels,
                                        z_top=cfg.scene.z_top_m)
+    elif cfg.scene.atmosphere == "titan_standard":
+        atm = titan_standard_atmosphere(n_lev=cfg.scene.n_levels,
+                                        z_top=cfg.scene.z_top_m)
     else:
         with np.load(cfg.scene.atmosphere) as z:
             vmr = {k[4:]: jnp.asarray(z[k]) for k in z.files
@@ -87,8 +91,11 @@ def build_scene(cfg):
     # molecule name of each pair.
     from spectrobot_tpu.data.molparams import MOLECULES
     species_names = [MOLECULES[m].name for (m, _) in pairs]
-    nu = jnp.asarray(np.linspace(cfg.grid.nu_min, cfg.grid.nu_max,
-                                 cfg.grid.n_points), dtype)
+    nu_host = np.linspace(cfg.grid.nu_min, cfg.grid.nu_max,
+                          cfg.grid.n_points)
+    nu = jnp.asarray(nu_host, dtype)
+    # Offset grid staged from float64 (f32-precision dnu; DeviceLines doc).
+    nu_off = jnp.asarray(nu_host - float(dl.nu_ref), dtype)
     W = None
     if cfg.instrument.enabled:
         lo = cfg.instrument.chan_min or cfg.grid.nu_min + 2 * cfg.instrument.fwhm_cm1
@@ -96,7 +103,7 @@ def build_scene(cfg):
         W = jnp.asarray(
             ils_matrix(np.asarray(nu), np.linspace(lo, hi, cfg.instrument.n_channels),
                        cfg.instrument.fwhm_cm1, cfg.instrument.shape), dtype)
-    return planet, atm, dl, species_names, nu, W
+    return planet, atm, dl, species_names, nu, nu_off, W
 
 
 def cmd_forward(cfg) -> dict:
@@ -106,9 +113,9 @@ def cmd_forward(cfg) -> dict:
     from spectrobot_tpu.forward.limb import limb_radiance, nadir_radiance
     from spectrobot_tpu.ops.ils import apply_ils
 
-    planet, atm, dl, species_names, nu, W = build_scene(cfg)
+    planet, atm, dl, species_names, nu, nu_off, W = build_scene(cfg)
     kw = dict(variant=cfg.compute.variant, cutoff_cm1=cfg.compute.cutoff_cm1,
-              chunk=cfg.compute.chunk)
+              chunk=cfg.compute.chunk, nu_off=nu_off)
     use_pallas = (cfg.compute.use_pallas
                   and jax.devices()[0].platform == "tpu")
     t0 = time.time()
@@ -119,7 +126,8 @@ def cmd_forward(cfg) -> dict:
         if use_pallas:
             from spectrobot_tpu.forward.limb import limb_radiance_pallas
             I = limb_radiance_pallas(nu, dl, cg,
-                                     cutoff_cm1=cfg.compute.cutoff_cm1)
+                                     cutoff_cm1=cfg.compute.cutoff_cm1,
+                                     nu_off=nu_off)
         else:
             I = jax.jit(lambda: limb_radiance(nu, dl, cg, **kw))()
     else:
@@ -132,7 +140,8 @@ def cmd_forward(cfg) -> dict:
                 planck_nu(nu, cfg.geometry.t_surface).astype(jnp.float32),
                 (len(cfg.geometry.sec_theta), nu.shape[0]))
             I = limb_radiance_pallas(nu, dl, cg, I_background=I_bg,
-                                     cutoff_cm1=cfg.compute.cutoff_cm1)
+                                     cutoff_cm1=cfg.compute.cutoff_cm1,
+                                     nu_off=nu_off)
         else:
             I = jax.jit(lambda: nadir_radiance(nu, dl, cg,
                                                cfg.geometry.t_surface,
@@ -162,7 +171,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     from spectrobot_tpu.utils.checkpoint import Checkpointer
     from spectrobot_tpu.utils.runlog import RunLogger
 
-    planet, atm, dl, species_names, nu, W = build_scene(cfg)
+    planet, atm, dl, species_names, nu, nu_off, W = build_scene(cfg)
     h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                       nu.dtype) if cfg.geometry.mode == "limb" else None
     sec = (None if cfg.geometry.mode == "limb"
@@ -171,7 +180,8 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
         atm, dl, nu, species_names, planet, tangent_heights_m=h_t,
         sec_theta=sec, T_surface=cfg.geometry.t_surface, ils_W=W,
         n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
-        cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk)
+        cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
+        nu_off=nu_off)
 
     retrieve_vmr = list(cfg.retrieval.retrieve_vmr)
     state0 = make_state(atm, retrieve_vmr)
@@ -187,18 +197,36 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
                            for _ in retrieve_vmr])
     S_a = np.diag(sa)
 
-    if y_obs is None:
+    from spectrobot_tpu.retrieval.obs import Observation
+
+    n_chan = (W.shape[0] if W is not None else nu.shape[0])
+    chans = (np.linspace(cfg.instrument.chan_min or float(nu[0]),
+                         cfg.instrument.chan_max or float(nu[-1]), n_chan)
+             if W is not None else np.asarray(nu))
+    if y_obs is not None:
+        noise = cfg.instrument.noise or 0.005 * float(np.max(y_obs))
+        n_ray = (len(cfg.geometry.tangent_heights_km)
+                 if cfg.geometry.mode == "limb" else len(cfg.geometry.sec_theta))
+        obs = Observation.synthesize(np.asarray(y_obs).reshape(n_ray, n_chan),
+                                     chans, 0.0)
+        obs.sigma[:] = noise
+    elif cfg.retrieval.obs_path:
+        obs = Observation.load_npz(cfg.retrieval.obs_path)
+    else:
         # Self-test mode: synthesise observations from a perturbed truth.
-        rng = np.random.default_rng(0)
         atm_true = atm.with_temperature(
             atm.T + jnp.asarray(5.0 * np.sin(np.linspace(0, 3, n_lev)),
                                 atm.T.dtype))
         x_true, _ = flatten_state(make_state(atm_true, retrieve_vmr))
         y_clean = np.asarray(fwd_flat(jnp.asarray(x_true)))
         noise = cfg.instrument.noise or 0.005 * float(y_clean.max())
-        y_obs = y_clean + noise * rng.standard_normal(y_clean.shape)
-    else:
-        noise = cfg.instrument.noise or 0.005 * float(np.max(y_obs))
+        n_ray = (len(cfg.geometry.tangent_heights_km)
+                 if cfg.geometry.mode == "limb" else len(cfg.geometry.sec_theta))
+        obs = Observation.synthesize(y_clean.reshape(n_ray, n_chan), chans,
+                                     noise, seed=0)
+    if cfg.retrieval.windows:
+        obs = obs.with_windows(cfg.retrieval.windows)
+    y_obs, noise_flat = obs.flattened()
 
     os.makedirs(cfg.run.output_dir, exist_ok=True)
     log_path = cfg.run.log_file or os.path.join(cfg.run.output_dir, "run.jsonl")
@@ -206,7 +234,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     logger = RunLogger(log_path, echo=True)
     res = retrieve(
         fwd_flat, jac, jnp.asarray(y_obs), x0, x0, S_a,
-        jnp.full(y_obs.shape, noise),
+        jnp.asarray(noise_flat),
         OEConfig(max_iter=cfg.retrieval.max_iter,
                  lm_lambda0=cfg.retrieval.lm_lambda0,
                  chi2_rel_tol=cfg.retrieval.chi2_rel_tol),

@@ -80,6 +80,8 @@ class RetrievalConfig:
     chi2_rel_tol: float = 1e-3
     sigma_T: float = 10.0               # prior std [K]
     sigma_lnvmr: float = 1.0            # prior std [ln]
+    obs_path: str = ""                  # Observation .npz ("" = self-test)
+    windows: Tuple = ()                 # ((lo, hi), ...) spectral windows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,11 +109,14 @@ _SECTIONS = {f.name: f.type for f in dataclasses.fields(Config)}
 def _coerce(dc_cls, data: dict):
     kwargs = {}
     fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+    def deep_tuple(v):
+        return tuple(deep_tuple(x) if isinstance(x, list) else x for x in v)
+
     for k, v in data.items():
         if k not in fields:
             raise KeyError(f"unknown config key {dc_cls.__name__}.{k}")
         if isinstance(v, list):
-            v = tuple(v)
+            v = deep_tuple(v)
         kwargs[k] = v
     return dc_cls(**kwargs)
 

@@ -124,6 +124,27 @@ def hydrostatic_atmosphere(
     )
 
 
+def titan_standard_atmosphere(n_lev: int = 51, z_top: float = 600e3) -> Atmosphere:
+    """A smooth Titan-like reference atmosphere (N2-dominated with CH4/CO) —
+    the reference's second target body (SURVEY.md 1.1 'Mars/Titan focus')."""
+    z = np.linspace(0.0, z_top, n_lev)
+
+    def T_of_z(zz):
+        # ~94 K surface, tropopause minimum ~70 K near 40 km, rising to
+        # ~170 K in the upper atmosphere — the canonical Titan shape.
+        return (94.0 - 24.0 * np.clip(zz / 40e3, 0.0, 1.0)
+                + 100.0 * np.clip((zz - 40e3) / 360e3, 0.0, 1.0))
+
+    vmr = {
+        "N2": np.full(n_lev, 0.943),
+        "CH4": 0.014 + 0.034 * np.exp(-z / 30e3),   # enriched near surface
+        "CO": np.full(n_lev, 4.7e-5),
+        "C2H2": 3.0e-6 * np.clip(z / 200e3, 0.0, 1.0) + 1e-9,
+    }
+    return hydrostatic_atmosphere(TITAN, z, T_of_z, p_surface=1.467e5,
+                                  vmr=vmr)
+
+
 def mars_standard_atmosphere(n_lev: int = 51, z_top: float = 100e3) -> Atmosphere:
     """A smooth Mars-like reference atmosphere (CO2-dominated) used by the
     acceptance configs (BASELINE.json configs 2/3/5) and tests."""

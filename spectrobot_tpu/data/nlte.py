@@ -144,7 +144,7 @@ def weights_for_layer(
     il = lines.level_lower
     r_u = jnp.where(iu >= 0, r_lvl[jnp.maximum(iu, 0)], 1.0)
     r_l = jnp.where(il >= 0, r_lvl[jnp.maximum(il, 0)], 1.0)
-    E = jnp.exp(-C2 * lines.nu0 / T_kin)
+    E = jnp.exp(-C2 * lines.nu0_abs / T_kin)
     w_abs = (r_l - r_u * E) / (1.0 - E)
     w_em = r_u
     return w_abs, w_em

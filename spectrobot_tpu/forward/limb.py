@@ -46,8 +46,13 @@ def layer_tau(
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
     analytic_jvp: bool = True,
+    nu_off: Optional[jnp.ndarray] = None,
 ):
     """Raw per-(ray, layer) line sums: (dtau, dtau_em), each [R, NL, P].
+
+    ``nu_off``: the grid in OFFSET coordinates (nu - lines.nu_ref), staged
+    from float64 by the caller for f32-precision dnu; default computes it
+    from ``nu_grid`` (exact for f64 grids, see DeviceLines docstring).
 
     These are LINEAR in the line list, so a line-sharded mesh can psum them
     across the 'line' axis before the (nonlinear) source assembly — the
@@ -71,6 +76,9 @@ def layer_tau(
             return accumulate_jnp(nu, _KL(nc, sx, yy, am), chunk=chunk,
                                   variant=variant, cutoff_cm1=cutoff_cm1)
 
+    if nu_off is None:
+        nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
+
     def one(u_sp, T_sp, p_sp, ps_sp, T_air, lay_idx):
         sp = lines.species_idx
         T_line = T_sp[sp]
@@ -80,7 +88,7 @@ def layer_tau(
         w_abs, w_em = weights_for_layer(nlte, lines, lay_idx, T_air)
         amps = jnp.stack([w_abs * u_line_cm2, w_em * u_line_cm2])
         kl = line_kernel_inputs(lines, T_line, p_line, ps_line, amps)
-        out = acc_op(nu_grid, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+        out = acc_op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps)
         return out[0], out[1]                    # dtau, "emission depth"
 
     per_layer = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
@@ -151,6 +159,7 @@ def layer_tau_pallas(
     tile_p: int = 256,
     block_l: int = 256,
     interpret: bool = False,
+    nu_off: Optional[jnp.ndarray] = None,
 ):
     """Pallas-kernel stage 2 for the whole (ray x layer) batch: ONE
     pallas_call covers every layer of every ray (SURVEY.md M2/M3 production
@@ -161,10 +170,12 @@ def layer_tau_pallas(
     import numpy as np
 
     R, NL, S = cg.u.shape
+    if nu_off is None:
+        nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
     prologue = jax.jit(_tau_prologue)
     nu_c, sx, y, amps = prologue(lines, cg, nlte)
     out = accumulate_pallas_batch(
-        nu_grid, np.asarray(lines.nu0), nu_c, sx, y, amps,
+        nu_off, np.asarray(lines.nu0), nu_c, sx, y, amps,
         tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
         interpret=interpret)                              # [B, 2, P]
     P = nu_grid.shape[0]

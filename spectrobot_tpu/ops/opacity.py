@@ -323,6 +323,7 @@ def cross_sections(
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
     analytic_jvp: bool = True,
+    nu_off: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Absorption & emission cross sections [cm^2/molec] for one homogeneous
     state — thin wrapper over the two-stage API (kept as the stable public
@@ -330,6 +331,9 @@ def cross_sections(
 
     analytic_jvp=True (default) routes through the shared-basis analytic
     JVP op — forward-mode AD only; pass False for reverse-mode (grad).
+    ``nu_off``: grid in offset coordinates staged from float64 (see
+    DeviceLines docstring); default derives it from ``nu_grid`` (exact only
+    for float64 grids).
     """
     L = lines.n_lines
     ones = jnp.ones((L,), dtype=jnp.result_type(lines.sw))
@@ -337,12 +341,15 @@ def cross_sections(
     we = ones if w_em is None else w_em
     kl = line_kernel_inputs(lines, T, p_pa, p_self_pa,
                             amp_weights=jnp.stack([wa, we]))
+    # Offset coordinates for the dnu computation (see DeviceLines docstring).
+    if nu_off is None:
+        nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
     if analytic_jvp:
         op = make_accumulate_op(chunk=chunk, variant=variant,
                                 cutoff_cm1=cutoff_cm1)
-        out = op(nu_grid, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+        out = op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps)
     else:
-        out = accumulate_jnp(nu_grid, kl, chunk=chunk, variant=variant,
+        out = accumulate_jnp(nu_off, kl, chunk=chunk, variant=variant,
                              cutoff_cm1=cutoff_cm1)
     return out[0], out[1]
 

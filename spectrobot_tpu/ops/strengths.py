@@ -27,9 +27,17 @@ class DeviceLines(NamedTuple):
     ``q_ratio_tbl``/``q_tgrid`` hold the packed partition-sum tables
     (per species row) and ``species_idx`` maps each line to its row, so
     Q(296)/Q(T) is a gather + interp on device.
+
+    PRECISION: ``nu0`` is stored as an OFFSET from ``nu_ref`` (a scalar,
+    subtracted host-side in float64).  At 650 cm-1 a float32 wavenumber
+    quantises at ~3e-5 cm-1 — comparable to Doppler widths — so absolute
+    f32 coordinates lose percent-level accuracy in line cores; offsets from
+    the window centre keep dnu accurate to ~1e-6 cm-1.  Quantities needing
+    the ABSOLUTE wavenumber (strength scaling, Doppler width, Planck) use
+    nu0_abs = nu0 + nu_ref, where f32 rounding is harmless (relative 5e-8).
     """
 
-    nu0: jnp.ndarray          # [L] line centers [cm-1]
+    nu0: jnp.ndarray          # [L] line centers, OFFSET from nu_ref [cm-1]
     sw: jnp.ndarray           # [L] strength at 296 K
     elower: jnp.ndarray       # [L] lower-state energy [cm-1]
     gamma_air: jnp.ndarray    # [L]
@@ -42,18 +50,27 @@ class DeviceLines(NamedTuple):
     level_lower: jnp.ndarray  # [L] int32
     q_tbl: jnp.ndarray        # [n_species, n_T] partition sums
     q_tgrid: jnp.ndarray      # [n_T] temperature grid of q_tbl
+    nu_ref: jnp.ndarray       # scalar wavenumber origin [cm-1]
 
     @property
     def n_lines(self) -> int:
         return int(self.nu0.shape[0])
 
+    @property
+    def nu0_abs(self) -> jnp.ndarray:
+        return self.nu0 + self.nu_ref
 
-def device_lines_from_linelist(ll, species, dtype=jnp.float32) -> DeviceLines:
+
+def device_lines_from_linelist(ll, species, dtype=jnp.float32,
+                               nu_ref: float = None) -> DeviceLines:
     """Stage a host LineList onto device arrays.
 
     ``species`` is an ordered list of (mol_id, iso_id) defining the species
     axis (partition-table rows, VMR rows).  Lines whose (mol, iso) is not in
     ``species`` are dropped.  Per SURVEY.md C1 the list arrives sorted by nu0.
+
+    ``nu_ref`` (default: midpoint of the line range, rounded) rebases line
+    centers to float32-safe offsets; pass 0.0 to store absolute wavenumbers.
     """
     from spectrobot_tpu.data import tips
 
@@ -63,9 +80,13 @@ def device_lines_from_linelist(ll, species, dtype=jnp.float32) -> DeviceLines:
     keep = sp >= 0
     idx = np.nonzero(keep)[0]
 
+    if nu_ref is None:
+        nu_ref = (float(np.round(0.5 * (ll.nu0[idx].min() + ll.nu0[idx].max())))
+                  if len(idx) else 0.0)
+
     q_tbl = tips.pack_q_tables([tuple(s) for s in species])
     return DeviceLines(
-        nu0=jnp.asarray(ll.nu0[idx], dtype=dtype),
+        nu0=jnp.asarray(ll.nu0[idx] - nu_ref, dtype=dtype),
         sw=jnp.asarray(ll.sw[idx], dtype=dtype),
         elower=jnp.asarray(ll.elower[idx], dtype=dtype),
         gamma_air=jnp.asarray(ll.gamma_air[idx], dtype=dtype),
@@ -78,6 +99,7 @@ def device_lines_from_linelist(ll, species, dtype=jnp.float32) -> DeviceLines:
         level_lower=jnp.asarray(ll.level_lower[idx], dtype=jnp.int32),
         q_tbl=jnp.asarray(q_tbl, dtype=dtype),
         q_tgrid=jnp.asarray(tips.T_GRID, dtype=dtype),
+        nu_ref=jnp.asarray(nu_ref, dtype=dtype),
     )
 
 
@@ -113,7 +135,8 @@ def line_strength(lines: DeviceLines, T) -> jnp.ndarray:
     """
     qr = partition_ratio(lines, T)
     boltz = jnp.exp(-C2 * lines.elower * (1.0 / T - 1.0 / T_REF))
-    stim = (1.0 - jnp.exp(-C2 * lines.nu0 / T)) / (1.0 - jnp.exp(-C2 * lines.nu0 / T_REF))
+    nu_abs = lines.nu0_abs
+    stim = (1.0 - jnp.exp(-C2 * nu_abs / T)) / (1.0 - jnp.exp(-C2 * nu_abs / T_REF))
     return lines.sw * qr * boltz * stim
 
 
@@ -121,7 +144,7 @@ def doppler_hwhm(lines: DeviceLines, T) -> jnp.ndarray:
     """Doppler half-width at half-maximum [cm-1]:
     alpha_D = nu0/c * sqrt(2 ln2 kT / m)."""
     m_kg = lines.mass_amu * AMU
-    return lines.nu0 / C_LIGHT * jnp.sqrt(2.0 * LN2 * K_BOLTZ * T / m_kg)
+    return lines.nu0_abs / C_LIGHT * jnp.sqrt(2.0 * LN2 * K_BOLTZ * T / m_kg)
 
 
 def lorentz_hwhm(lines: DeviceLines, T, p_pa, p_self_pa=0.0) -> jnp.ndarray:
@@ -136,5 +159,5 @@ def lorentz_hwhm(lines: DeviceLines, T, p_pa, p_self_pa=0.0) -> jnp.ndarray:
 
 
 def pressure_shifted_center(lines: DeviceLines, p_pa) -> jnp.ndarray:
-    """nu0' = nu0 + delta_air * p[atm]  [cm-1]."""
+    """nu0' = nu0 + delta_air * p[atm] — OFFSET coordinates [cm-1]."""
     return lines.nu0 + lines.delta_air * (p_pa / ATM)

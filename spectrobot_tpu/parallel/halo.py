@@ -50,6 +50,7 @@ class ShardedKernelLines(NamedTuple):
 
 def partition_kernel_lines(
     kl: KernelLines, nu0_host: np.ndarray, edges: np.ndarray,
+    round_to: int = 128,
 ) -> ShardedKernelLines:
     """Host-side: assign each line to the shard whose [edges[k], edges[k+1])
     interval contains its (unshifted) center; pad shards to a common Lmax.
@@ -64,8 +65,9 @@ def partition_kernel_lines(
                            [len(nu0_host)]])
     counts = np.diff(cuts)
     Lmax = max(int(counts.max()), 1)
-    # Round up so the per-shard line axis tiles nicely.
-    Lmax = ((Lmax + 127) // 128) * 128
+    # Round up so the per-shard line axis tiles nicely (and matches the
+    # Pallas BLOCK_L when used with halo_accumulate_pallas_fn).
+    Lmax = ((Lmax + round_to - 1) // round_to) * round_to
 
     def pack(a, fill):
         a = np.asarray(a)
@@ -135,6 +137,99 @@ def halo_accumulate_fn(
 
     def apply(nu_grid, skl: ShardedKernelLines):
         return jax.jit(fn)(nu_grid, skl.nu_c, skl.scale_x, skl.y, skl.amps)
+
+    return apply
+
+
+def halo_accumulate_pallas_fn(
+    mesh: Mesh,
+    nu_host: np.ndarray,
+    skl_nu0: np.ndarray,
+    *,
+    tile_p: int = 256,
+    block_l: int = 256,
+    cutoff_cm1: Optional[float] = 25.0,
+    interpret: bool = False,
+):
+    """Halo-exchange accumulation with the PALLAS kernel per shard — the
+    production multi-chip compute path (Pallas inside shard_map).
+
+    nu_host: [P] full fine grid (host, sorted); skl_nu0: [n_shards, Lmax]
+    per-shard padded line centers (host — from partition_kernel_lines'
+    layout, pads at +1e9).  Per-(shard, source) ragged block windows are
+    precomputed HOST-side: each shard needs windows against its own lines
+    and against each ring neighbour's line block (which arrives via
+    ppermute); scalar-prefetch tables ship as sharded arrays.
+
+    Returns f(nu_grid, skl) -> [n_out, P] (out sharded over 'nu').
+    """
+    from spectrobot_tpu.ops.pallas_opacity import (
+        _accumulate_padded, _block_windows, _round_up)
+
+    n_shards = mesh.shape["nu"]
+    P_ = len(nu_host)
+    assert P_ % n_shards == 0
+    P_loc = P_ // n_shards
+    Pp_loc = _round_up(P_loc, tile_p)
+    assert Pp_loc == P_loc, (
+        f"local grid chunk {P_loc} must be a multiple of tile_p={tile_p}")
+    Lmax = skl_nu0.shape[1]
+    assert Lmax % block_l == 0
+
+    # Window tables per (shard, source in {own, from_left, from_right}).
+    win_cut = None if cutoff_cm1 is None else cutoff_cm1 + 1.0
+    n_tiles_loc = P_loc // tile_p
+    starts = np.zeros((n_shards, 3, n_tiles_loc), np.int32)
+    counts = np.zeros((n_shards, 3, n_tiles_loc), np.int32)
+    max_blocks = 1
+    for k in range(n_shards):
+        grid_k = np.asarray(nu_host[k * P_loc:(k + 1) * P_loc], np.float32)
+        for s_i, src in enumerate((k, (k - 1) % n_shards, (k + 1) % n_shards)):
+            st, ct = _block_windows(grid_k, np.asarray(skl_nu0[src], np.float32),
+                                    tile_p, block_l, win_cut)
+            starts[k, s_i] = st
+            counts[k, s_i] = ct
+            max_blocks = max(max_blocks, int(ct.max()) if ct.size else 1)
+
+    right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def body(nu_loc, nu_c, sx, y, amps, st_loc, ct_loc):
+        nu2d = nu_loc.reshape(P_loc, 1).astype(jnp.float32)
+
+        def acc(src_idx, arrs):
+            nc, s, yy, am = arrs
+            return _accumulate_padded(
+                nu2d, nc.reshape(1, Lmax).astype(jnp.float32),
+                s.reshape(1, Lmax).astype(jnp.float32),
+                yy.reshape(1, Lmax).astype(jnp.float32),
+                am.astype(jnp.float32),
+                st_loc[0, src_idx], ct_loc[0, src_idx],
+                max_blocks=max_blocks, tile_p=tile_p, block_l=block_l,
+                cutoff_cm1=cutoff_cm1, interpret=interpret)
+
+        mine = (nu_c[0], sx[0], y[0], amps[0])
+        out = acc(0, mine)
+        if n_shards > 1:
+            got_left = tuple(lax.ppermute(a, "nu", right) for a in mine)
+            out = out + acc(1, got_left)
+            if n_shards > 2:
+                got_right = tuple(lax.ppermute(a, "nu", left) for a in mine)
+                out = out + acc(2, got_right)
+        return out
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("nu"), P("nu"), P("nu"), P("nu"), P("nu"),
+                  P("nu"), P("nu")),
+        out_specs=P(None, "nu"), check_vma=False)
+    jitted = jax.jit(fn)
+    st_j = jnp.asarray(starts)
+    ct_j = jnp.asarray(counts)
+
+    def apply(nu_grid, skl: ShardedKernelLines):
+        return jitted(nu_grid, skl.nu_c, skl.scale_x, skl.y, skl.amps,
+                      st_j, ct_j)
 
     return apply
 

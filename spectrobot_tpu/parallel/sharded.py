@@ -40,7 +40,7 @@ LINES_SPECS = DeviceLines(
     nu0=P("line"), sw=P("line"), elower=P("line"), gamma_air=P("line"),
     gamma_self=P("line"), n_air=P("line"), delta_air=P("line"),
     mass_amu=P("line"), species_idx=P("line"), level_upper=P("line"),
-    level_lower=P("line"), q_tbl=P(), q_tgrid=P(),
+    level_lower=P("line"), q_tbl=P(), q_tgrid=P(), nu_ref=P(),
 )
 NLTE_SPECS = DeviceNLTE(e_level=P(), t_vib=P())
 

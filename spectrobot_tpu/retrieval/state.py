@@ -61,6 +61,7 @@ def build_forward(
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
     analytic_jvp: bool = True,
+    nu_off: Optional[jnp.ndarray] = None,
 ) -> Callable[[Dict], jnp.ndarray]:
     """Build F: state -> y.
 
@@ -70,7 +71,7 @@ def build_forward(
     Output y is flattened [n_ray * n_chan].
     """
     kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
-              analytic_jvp=analytic_jvp)
+              analytic_jvp=analytic_jvp, nu_off=nu_off)
 
     def forward(state: Dict) -> jnp.ndarray:
         atm = apply_state(base_atm, state)
@@ -96,6 +97,25 @@ def flatten_state(state: Dict) -> Tuple[jnp.ndarray, Callable]:
 def jacobian_fwd(forward_flat: Callable, x: jnp.ndarray) -> jnp.ndarray:
     """Analytic Jacobian K [n_y, n_x] by forward-mode AD (C15)."""
     return jax.jacfwd(forward_flat)(x)
+
+
+def jacobian_fwd_chunked(forward_flat: Callable, x: jnp.ndarray,
+                         chunk: int = 16) -> jnp.ndarray:
+    """Analytic Jacobian in tangent CHUNKS — bounds the live tangent batch to
+    ``chunk`` columns (SURVEY.md 8.4 hard part 3: 'Jacobian memory —
+    forward-mode batching rather than naive reverse-mode').  Same result as
+    :func:`jacobian_fwd`; use when n_x x spectrum does not fit in HBM."""
+    n_x = x.shape[0]
+    eye = jnp.eye(n_x, dtype=x.dtype)
+    cols = []
+    for s in range(0, n_x, chunk):
+        tang = eye[s:s + chunk]
+
+        def one(v):
+            return jax.jvp(forward_flat, (x,), (v,))[1]
+
+        cols.append(jax.vmap(one)(tang))         # [chunk, n_y]
+    return jnp.concatenate(cols, axis=0).T
 
 
 def jacobian_fd(forward_flat: Callable, x: jnp.ndarray,

@@ -17,7 +17,7 @@ from spectrobot_tpu.data.synth import co2_15um_band
 
 def _inputs(dtype=jnp.float64, j_max=10):
     dl = device_lines_from_linelist(co2_15um_band(j_max=j_max), [(2, 1)],
-                                    dtype=dtype)
+                                    dtype=dtype, nu_ref=0.0)
     kl = line_kernel_inputs(dl, 230.0, 250.0, 100.0,
                             amp_weights=jnp.ones((2, dl.n_lines), dtype))
     nu = jnp.asarray(np.linspace(660.0, 674.0, 300), dtype)
@@ -50,7 +50,7 @@ def test_analytic_jvp_matches_ad_jvp(cutoff):
 def test_analytic_jacfwd_matches_ad_jacfwd():
     # Through the strength/width prologue wrt a scalar T — the real use.
     dl = device_lines_from_linelist(co2_15um_band(j_max=8), [(2, 1)],
-                                    dtype=jnp.float64)
+                                    dtype=jnp.float64, nu_ref=0.0)
     nu = jnp.asarray(np.linspace(662.0, 672.0, 200))
     op = make_accumulate_op(chunk=64, variant="weideman")
 

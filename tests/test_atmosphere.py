@@ -58,3 +58,15 @@ def test_mars_surface_conditions():
     assert 500 < float(atm.p[0]) <= 700
     assert 180 < float(atm.T[0]) < 240
     assert abs(float(atm.vmr["CO2"][0]) - 0.9532) < 1e-6
+
+
+def test_titan_standard_atmosphere():
+    from spectrobot_tpu.data.atmosphere import titan_standard_atmosphere
+    atm = titan_standard_atmosphere(n_lev=31)
+    p0 = float(atm.p[0])
+    assert 1.3e5 < p0 < 1.6e5            # ~1.47 bar surface
+    T = np.asarray(atm.T)
+    assert 90 < T[0] < 100               # ~94 K surface
+    assert T.min() < 75                  # tropopause minimum
+    assert np.all(np.diff(np.asarray(atm.p)) < 0)
+    assert abs(float(atm.vmr["N2"][0]) - 0.943) < 1e-6

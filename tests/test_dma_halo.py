@@ -1,0 +1,53 @@
+"""Pallas remote-DMA ring exchange (C25 native tier) — semaphore protocol
+and data movement under interpret mode on the emulated mesh (SURVEY.md 5.4,
+section 6 'race detection')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrobot_tpu.parallel.dma_halo import (
+    nu_ring_mesh, ring_exchange, ring_halo_lines,
+)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize("direction", [1, -1])
+def test_ring_exchange_moves_blocks(n_shards, direction):
+    mesh = nu_ring_mesh(jax.devices()[:n_shards])
+    x = jnp.arange(n_shards * 8 * 128, dtype=jnp.float32).reshape(
+        n_shards * 8, 128)
+    f = ring_exchange(mesh, "nu", direction, interpret=True)
+    out = np.asarray(f(x))
+    ref = np.roll(np.asarray(x).reshape(n_shards, 8, 128), direction,
+                  axis=0).reshape(n_shards * 8, 128)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_ring_halo_lines_matches_ppermute_semantics():
+    from spectrobot_tpu.data.synth import random_lines
+    from spectrobot_tpu.ops.opacity import line_kernel_inputs
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+    from spectrobot_tpu.parallel.halo import (
+        nu_shard_edges, partition_kernel_lines,
+    )
+
+    n_shards = 4
+    ll = random_lines(300, 600.0, 700.0, seed=5)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32,
+                                    nu_ref=0.0)
+    kl = line_kernel_inputs(dl, 210.0, 100.0, 30.0,
+                            amp_weights=jnp.ones((2, dl.n_lines),
+                                                 jnp.float32))
+    nu = np.linspace(600.0, 700.0, 512)
+    edges = nu_shard_edges(nu, n_shards, 10.0)
+    skl = partition_kernel_lines(kl, np.asarray(dl.nu0), edges)
+
+    mesh = nu_ring_mesh(jax.devices()[:n_shards])
+    from_left, from_right = ring_halo_lines(mesh, skl, interpret=True)
+    # Shard k's "from_left" must equal shard k-1's own block, etc.
+    np.testing.assert_array_equal(np.asarray(from_left.nu_c),
+                                  np.roll(np.asarray(skl.nu_c), 1, axis=0))
+    np.testing.assert_array_equal(np.asarray(from_right.amps),
+                                  np.roll(np.asarray(skl.amps), -1, axis=0))

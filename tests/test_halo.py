@@ -19,7 +19,7 @@ from spectrobot_tpu.parallel.mesh import make_mesh
 def _scene(n_lines=600, P=1024, lo=600.0, hi=700.0):
     # Lines extend BEYOND the grid so out-of-range wings exercise clamping.
     ll = random_lines(n_lines, lo - 20.0, hi + 20.0, seed=3)
-    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float64)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float64, nu_ref=0.0)
     kl = line_kernel_inputs(dl, 210.0, 120.0, 40.0,
                             amp_weights=jnp.ones((2, dl.n_lines)))
     nu = jnp.asarray(np.linspace(lo, hi, P))
@@ -55,3 +55,28 @@ def test_cutoff_wider_than_shard_rejected():
     _, _, nu = _scene(P=512)
     with pytest.raises(AssertionError):
         nu_shard_edges(np.asarray(nu), 8, 50.0)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_halo_pallas_matches_single_device(n_shards):
+    from spectrobot_tpu.ops.opacity import KernelLines
+    from spectrobot_tpu.parallel.halo import halo_accumulate_pallas_fn
+    dl, kl, nu = _scene(P=1024)
+    cutoff = 10.0
+    # The kernel computes in f32; its parity target is the f32 jnp path
+    # (absolute-coordinate f32 dnu precision is a separate, known effect —
+    # see the DeviceLines nu_ref docstring and test_f32_rebasing.py).
+    kl32 = KernelLines(*[a.astype(jnp.float32) for a in kl])
+    nu32 = nu.astype(jnp.float32)
+    ref = np.asarray(accumulate_jnp(nu32, kl32, chunk=128, cutoff_cm1=cutoff))
+
+    mesh = make_mesh((1, 1, n_shards), jax.devices()[:n_shards])
+    edges = nu_shard_edges(np.asarray(nu), n_shards, cutoff)
+    skl = partition_kernel_lines(kl32, np.asarray(dl.nu0), edges,
+                                 round_to=128)
+    f = halo_accumulate_pallas_fn(
+        mesh, np.asarray(nu32), np.asarray(skl.nu_c), tile_p=128,
+        block_l=128, cutoff_cm1=cutoff, interpret=True)
+    got = np.asarray(f(nu32, skl))
+    np.testing.assert_allclose(got, ref, rtol=5e-5,
+                               atol=np.abs(ref).max() * 1e-6)

@@ -61,3 +61,12 @@ def test_jvp_linearity():
     _, jvp2 = jax.jvp(fwd_flat, (x0,), (2.0 * v,))
     np.testing.assert_allclose(np.asarray(jvp2), 2 * np.asarray(jvp1),
                                rtol=1e-10)
+
+
+def test_chunked_jacobian_matches_full():
+    from spectrobot_tpu.retrieval.state import jacobian_fwd_chunked
+    fwd_flat, x0 = _setup()
+    K = np.asarray(jacobian_fwd(fwd_flat, x0))
+    K_ch = np.asarray(jacobian_fwd_chunked(fwd_flat, x0, chunk=5))
+    np.testing.assert_allclose(K_ch, K, rtol=1e-8,
+                               atol=np.abs(K).max() * 1e-12)

@@ -1,0 +1,67 @@
+"""Observation model (C17): masks/windows, persistence, OE integration."""
+
+import numpy as np
+
+from spectrobot_tpu.retrieval.obs import Observation
+
+
+def _obs():
+    chans = np.linspace(650.0, 690.0, 41)
+    y = np.outer([1.0, 0.8, 0.5], np.ones(41))
+    return Observation.synthesize(y, chans, noise_sigma=0.01, seed=1,
+                                  tangent_heights_m=np.array([10e3, 20e3, 30e3]))
+
+
+def test_windows_mask_channels():
+    obs = _obs()
+    assert obs.n_used == 3 * 41
+    w = obs.with_windows([(655.0, 660.0), (680.0, 685.0)])
+    inside = ((w.nu_channels >= 655) & (w.nu_channels <= 660)) | \
+             ((w.nu_channels >= 680) & (w.nu_channels <= 685))
+    assert w.n_used == 3 * inside.sum()
+    yf, sf = w.flattened()
+    assert yf.shape == sf.shape == (3 * 41,)
+    # masked channels carry huge sigma -> zero weight
+    big = sf.reshape(3, 41)[:, ~inside]
+    assert np.all(big > 1e29)
+    used = sf.reshape(3, 41)[:, inside]
+    np.testing.assert_allclose(used, 0.01)
+
+
+def test_round_trip(tmp_path):
+    obs = _obs().with_windows([(660.0, 670.0)])
+    p = str(tmp_path / "obs.npz")
+    obs.save_npz(p)
+    o2 = Observation.load_npz(p)
+    np.testing.assert_allclose(o2.y, obs.y)
+    assert o2.n_used == obs.n_used
+    np.testing.assert_allclose(o2.tangent_heights_m, obs.tangent_heights_m)
+
+
+def test_masked_channels_do_not_affect_retrieval_cost():
+    # chi2 contribution from masked channels is ~ (dy/1e30)^2 ~ 0.
+    obs = _obs().with_windows([(660.0, 670.0)])
+    yf, sf = obs.flattened()
+    resid = np.ones_like(yf)
+    chi2 = np.sum((resid / sf) ** 2)
+    chi2_used = np.sum((resid[sf < 1] / sf[sf < 1]) ** 2)
+    np.testing.assert_allclose(chi2, chi2_used, rtol=1e-12)
+    assert 0 < obs.chi2_per_dof(chi2) == chi2 / obs.n_used
+
+
+def test_plot_helpers(tmp_path):
+    import os
+    from spectrobot_tpu.utils.plots import (
+        plot_averaging_kernels, plot_radiances, plot_retrieval,
+    )
+    nu = np.linspace(600, 700, 200)
+    I = np.abs(np.random.default_rng(0).standard_normal((3, 200)))
+    p1 = plot_radiances(str(tmp_path / "rad.png"), nu, I, labels=["a", "b", "c"])
+    z = np.linspace(0, 60e3, 9)
+    Tr = 200 + np.random.default_rng(1).standard_normal(9)
+    p2 = plot_retrieval(str(tmp_path / "ret.png"), z, Tr, Tr + 5,
+                        T_sigma=np.full(9, 2.0), T_true=Tr - 1)
+    A = np.eye(9) * 0.8
+    p3 = plot_averaging_kernels(str(tmp_path / "ak.png"), z, A, 9)
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 5000

@@ -13,7 +13,7 @@ from spectrobot_tpu.ops.strengths import device_lines_from_linelist
 
 def _kl(n_lines=700, seed=0):
     ll = random_lines(n_lines, 640.0, 700.0, seed=seed)
-    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32, nu_ref=0.0)
     w = jnp.ones((2, dl.n_lines), jnp.float32).at[1].mul(0.5)
     return line_kernel_inputs(dl, 220.0, 300.0, 100.0, amp_weights=w)
 

@@ -31,10 +31,11 @@ def test_strength_hand_computed():
     C2 = 1.4387768775039337
     q_ratio = tips.q_of_T(2, 1, 296.0) / tips.q_of_T(2, 1, T)
     i = 5
+    nu0_abs = np.asarray(dl.nu0_abs)
     expect = (np.asarray(dl.sw)[i] * q_ratio
               * np.exp(-C2 * np.asarray(dl.elower)[i] * (1 / T - 1 / 296.0))
-              * (1 - np.exp(-C2 * np.asarray(dl.nu0)[i] / T))
-              / (1 - np.exp(-C2 * np.asarray(dl.nu0)[i] / 296.0)))
+              * (1 - np.exp(-C2 * nu0_abs[i] / T))
+              / (1 - np.exp(-C2 * nu0_abs[i] / 296.0)))
     S = np.asarray(line_strength(dl, T))[i]
     np.testing.assert_allclose(S, expect, rtol=1e-4)  # table interp tolerance
 
@@ -44,7 +45,7 @@ def test_doppler_width_formula():
     T = 250.0
     ad = np.asarray(doppler_hwhm(dl, T))
     m = 43.98983 * AMU
-    expect = np.asarray(dl.nu0) / C_LIGHT * np.sqrt(2 * LN2 * K_BOLTZ * T / m)
+    expect = np.asarray(dl.nu0_abs) / C_LIGHT * np.sqrt(2 * LN2 * K_BOLTZ * T / m)
     np.testing.assert_allclose(ad, expect, rtol=1e-12)
     # Magnitude sanity: CO2 at 667 cm-1, 250 K -> ~5.3e-4 cm-1
     assert 4e-4 < ad.mean() < 7e-4
@@ -62,8 +63,10 @@ def test_lorentz_width_and_shift():
     glT = np.asarray(lorentz_hwhm(dl, 148.0, p))
     np.testing.assert_allclose(
         glT, np.asarray(dl.gamma_air) * 2.0 ** np.asarray(dl.n_air), rtol=1e-6)
+    # shift is in OFFSET coordinates (nu0 stores offsets from nu_ref)
     nu_c = np.asarray(pressure_shifted_center(dl, p))
-    np.testing.assert_allclose(nu_c, np.asarray(dl.nu0) + np.asarray(dl.delta_air),
+    np.testing.assert_allclose(nu_c + np.asarray(dl.nu_ref),
+                               np.asarray(dl.nu0_abs) + np.asarray(dl.delta_air),
                                rtol=1e-9)
 
 
