@@ -118,8 +118,36 @@ def cmd_forward(cfg) -> dict:
               chunk=cfg.compute.chunk, nu_off=nu_off)
     use_pallas = (cfg.compute.use_pallas
                   and jax.devices()[0].platform == "tpu")
+
+    # Mesh path (C20-C23): compute.mesh_* > 1 engages the sharded forward.
+    n_dev = len(jax.devices())
+    m_ray, m_line = cfg.compute.mesh_ray, cfg.compute.mesh_line
+    m_nu = cfg.compute.mesh_nu or max(n_dev // max(m_ray * m_line, 1), 1)
+    mesh_shape = (m_ray, m_line, m_nu)
+    use_mesh = int(np.prod(mesh_shape)) > 1
     t0 = time.time()
-    if cfg.geometry.mode == "limb":
+    if use_mesh and cfg.geometry.mode == "limb":
+        from spectrobot_tpu.parallel.mesh import make_mesh
+        from spectrobot_tpu.parallel.sharded import (
+            pad_lines_for_mesh, sharded_radiance_fn, stage_sharded,
+        )
+        h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
+                          nu.dtype)
+        assert len(cfg.geometry.tangent_heights_km) % m_ray == 0, \
+            "n tangent heights must divide mesh_ray"
+        assert cfg.grid.n_points % m_nu == 0, "n_points must divide mesh_nu"
+        mesh = make_mesh(mesh_shape)
+        dlp = pad_lines_for_mesh(dl, m_line)
+        cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
+        f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
+                                variant=cfg.compute.variant,
+                                cutoff_cm1=cfg.compute.cutoff_cm1,
+                                chunk=cfg.compute.chunk)
+        nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
+        I = f(nu_s, lines_s, cg_s)
+        print(f"mesh forward over {dict(zip(('ray','line','nu'), mesh_shape))}",
+              file=sys.stderr)
+    elif cfg.geometry.mode == "limb":
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)
         cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
@@ -243,6 +271,20 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     out_path = os.path.join(cfg.run.output_dir, "retrieval.npz")
     np.savez(out_path, x=res.x, S_hat=res.S_hat, A_kernel=res.A_kernel,
              chi2=res.chi2, n_iter=res.n_iter, converged=res.converged)
+    try:
+        from spectrobot_tpu.utils.plots import (
+            plot_averaging_kernels, plot_retrieval,
+        )
+        z_m = np.asarray(atm.z)
+        sig = np.sqrt(np.maximum(np.diag(res.S_hat)[:n_lev], 0.0))
+        plot_retrieval(os.path.join(cfg.run.output_dir, "retrieval_T.png"),
+                       z_m, res.x[:n_lev], np.asarray(x0)[:n_lev],
+                       T_sigma=sig)
+        plot_averaging_kernels(
+            os.path.join(cfg.run.output_dir, "averaging_kernels.png"),
+            z_m, res.A_kernel, n_lev)
+    except Exception as e:  # plotting must never fail a retrieval
+        print(f"plotting skipped: {e}", file=sys.stderr)
     print(f"retrieve: converged={res.converged} n_iter={res.n_iter} "
           f"chi2={res.chi2:.4g} -> {out_path}", file=sys.stderr)
     return {"converged": bool(res.converged), "n_iter": res.n_iter,

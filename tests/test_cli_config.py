@@ -106,3 +106,47 @@ output_dir = "{tmp_path}/out"
     assert payload["converged"] is True
     assert os.path.exists(os.path.join(str(tmp_path), "out", "run.jsonl"))
     assert os.path.exists(os.path.join(str(tmp_path), "out", "retrieval.npz"))
+
+
+def test_cli_forward_mesh(tmp_path, capsys):
+    # Sharded forward through the CLI on the 8-device emulated mesh.
+    from spectrobot_tpu.cli import main
+    cfg = tmp_path / "m.toml"
+    cfg.write_text(f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 256
+[scene]
+n_levels = 7
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [10.0, 30.0]
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 128
+mesh_ray = 2
+mesh_line = 2
+mesh_nu = 2
+[run]
+output_dir = "{tmp_path}/out_mesh"
+""")
+    rc = main(["forward", str(cfg)])
+    assert rc == 0
+    import json as _json
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["radiance_shape"] == [2, 256]
+    with np.load(os.path.join(str(tmp_path), "out_mesh", "forward.npz")) as z:
+        I_mesh = z["radiance"]
+    # Parity with the single-device CLI run.
+    cfg2 = tmp_path / "s.toml"
+    cfg2.write_text(cfg.read_text().replace("mesh_ray = 2", "mesh_ray = 1")
+                    .replace("mesh_line = 2", "mesh_line = 1")
+                    .replace("mesh_nu = 2", "mesh_nu = 1")
+                    .replace("out_mesh", "out_single"))
+    assert main(["forward", str(cfg2)]) == 0
+    capsys.readouterr()
+    with np.load(os.path.join(str(tmp_path), "out_single", "forward.npz")) as z:
+        I_single = z["radiance"]
+    np.testing.assert_allclose(I_mesh, I_single, rtol=1e-10)

@@ -1,0 +1,75 @@
+"""Full sharded forward (parallel/sharded.py, C21/C23) on the emulated mesh:
+parity with the single-device model across mesh shapes, non-LTE, and
+backgrounds (SURVEY.md 5.4 'assert bit-equality with the single-device
+result')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+from spectrobot_tpu.data.nlte import (
+    device_nlte, lte_t_vib, match_lines_to_levels, registry_from_linelist,
+)
+from spectrobot_tpu.data.synth import co2_15um_band
+from spectrobot_tpu.forward.geometry import limb_path_cg
+from spectrobot_tpu.forward.limb import limb_radiance
+from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+from spectrobot_tpu.parallel.mesh import make_mesh
+from spectrobot_tpu.parallel.sharded import (
+    pad_lines_for_mesh, sharded_radiance_fn, stage_sharded,
+)
+
+
+def _scene():
+    atm = mars_standard_atmosphere(n_lev=11, z_top=80e3)
+    ll = co2_15um_band(j_max=12)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(655.0, 680.0, 512))
+    h_t = jnp.asarray([10e3, 20e3, 30e3, 40e3])
+    cg = limb_path_cg(atm, ["CO2"], h_t, MARS, n_sub=2)
+    return ll, dl, nu, cg
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 2), (1, 4, 2), (4, 1, 2), (1, 1, 8)])
+def test_sharded_matches_single_device(shape):
+    ll, dl, nu, cg = _scene()
+    ref = np.asarray(jax.jit(
+        limb_radiance, static_argnames=("variant", "cutoff_cm1", "chunk"))(
+        nu, dl, cg))
+    mesh = make_mesh(shape)
+    dlp = pad_lines_for_mesh(dl, shape[1])
+    f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False)
+    nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
+    got = np.asarray(f(nu_s, lines_s, cg_s))
+    np.testing.assert_allclose(got, ref, rtol=1e-10,
+                               atol=np.abs(ref).max() * 1e-12)
+
+
+def test_sharded_nlte_and_background():
+    ll, dl, nu, cg = _scene()
+    reg = registry_from_linelist(ll)
+    ll2 = match_lines_to_levels(ll, reg)
+    dl = device_lines_from_linelist(ll2, [(2, 1)], dtype=jnp.float64)
+    n_lay = cg.u.shape[1]
+    t_vib = lte_t_vib(reg, 200.0 * np.ones(n_lay)) + 15.0
+    nlte = device_nlte(reg, t_vib, dtype=jnp.float64)
+    I_bg = jnp.full((nu.shape[0],), 1e-3)
+
+    ref = np.asarray(jax.jit(
+        lambda: limb_radiance(nu, dl, cg, nlte,))()
+        ) + 0  # limb has no background arg; emulate with path_radiance below
+    from spectrobot_tpu.forward.limb import layer_optics, path_radiance
+    optics = layer_optics(nu, dl, cg, nlte)
+    ref = np.asarray(path_radiance(
+        optics, cg, jnp.broadcast_to(I_bg, (cg.u.shape[0], nu.shape[0]))))
+
+    mesh = make_mesh((2, 2, 2))
+    dlp = pad_lines_for_mesh(dl, 2)
+    f = sharded_radiance_fn(mesh, has_nlte=True, has_background=True)
+    nu_s, lines_s, cg_s, nlte_s, bg_s = stage_sharded(mesh, nu, dlp, cg,
+                                                      nlte, I_bg)
+    got = np.asarray(f(nu_s, lines_s, cg_s, nlte_s, bg_s))
+    np.testing.assert_allclose(got, ref, rtol=1e-10,
+                               atol=np.abs(ref).max() * 1e-12)
