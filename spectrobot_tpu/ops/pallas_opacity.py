@@ -56,22 +56,52 @@ def _wr_region1(x, y):
     return INV_SQRT_PI * y * (0.5 + y2 + x * x) / (a * a + b * b)
 
 
-def _wr_tile(x, y, tile_is_far):
-    """Faddeeva real part for one (TILE_P x BLOCK_L) tile with block-level
-    region dispatch: far tiles (every pair provably in Humlicek region 1)
-    take the 12-flop branch; others run the full branchless w4.
+def _wr_region2(x, y):
+    """Humlicek region-2 real part (valid for s >= 5.5): the degree-2
+    rational in u = t^2, expanded over real pairs (~45 flops, no
+    transcendentals).  w = t (1.410474 + u c) / (0.75 + u (3 + u))."""
+    # t = y - i x ; u = t^2
+    ur = y * y - x * x
+    ui = -2.0 * x * y
+    # numerator n = t * (1.410474 + c*u),  c = 1/sqrt(pi)
+    ar = 1.410474 + INV_SQRT_PI * ur
+    ai = INV_SQRT_PI * ui
+    nr = y * ar + x * ai
+    ni = y * ai - x * ar
+    # denominator d = 0.75 + u (3 + u)
+    br = 3.0 + ur
+    dr = 0.75 + (ur * br - ui * ui)
+    di = ur * ui + ui * br
+    inv = 1.0 / (dr * dr + di * di)
+    return (nr * dr + ni * di) * inv
 
-    The far bound is conservative: s >= gap*min(sx) + min(y) over the block,
-    computed by the CALLER from the tile/block extremes (both sorted).
+
+def _wr_tile(x, y, s_min):
+    """Faddeeva real part for one (TILE_P x BLOCK_L) tile with block-level
+    region dispatch on the conservative bound s >= s_min:
+
+      s_min >= 15  : every pair is in Humlicek region 1 (12 flops)
+      s_min >= 5.5 : regions 1/2 only — pointwise select between the two
+                     rationals (~60 flops, still transcendental-free)
+      otherwise    : full branchless w4 (all four regions + complex exp)
+
+    Each branch is EXACTLY what pointwise w4 selects in its regime, so
+    dispatch preserves bit parity.  s_min = gap*min(sx) + min(y) over the
+    block, computed by the CALLER from the tile/block extremes (sorted).
     """
     def far(_):
         return _wr_region1(x, y)
+
+    def mid(_):
+        s = jnp.abs(x) + y
+        return jnp.where(s >= 15.0, _wr_region1(x, y), _wr_region2(x, y))
 
     def near(_):
         wr, _ = wofz_humlicek4(x, y)
         return wr
 
-    return jax.lax.cond(tile_is_far, far, near, None)
+    idx = jnp.where(s_min >= 15.0, 0, jnp.where(s_min >= 5.5, 1, 2))
+    return jax.lax.switch(idx, (far, mid, near), None)
 
 
 def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
@@ -102,7 +132,7 @@ def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
                                       nu_ref[0, 0] - nuc_ref[0, nuc_ref.shape[1] - 1]),
                           0.0)
         s_min = gap * jnp.min(sx_ref[:, :]) + jnp.min(y_ref[:, :])
-        wr = _wr_tile(x, y, s_min >= 15.0)
+        wr = _wr_tile(x, y, s_min)
         if cutoff is not None:
             wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
         # Reduction over lines on the MXU:
@@ -207,7 +237,7 @@ def _batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
                                       nu_ref[0, 0] - nuc_ref[0, 0, nuc_ref.shape[2] - 1]),
                           0.0)
         s_min = gap * jnp.min(sx_ref[0, :, :]) + jnp.min(y_ref[0, :, :])
-        wr = _wr_tile(x, y, s_min >= 15.0)
+        wr = _wr_tile(x, y, s_min)
         if cutoff is not None:
             wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
         out_ref[0, :, :] += jax.lax.dot_general(
