@@ -51,3 +51,36 @@ def test_ring_halo_lines_matches_ppermute_semantics():
                                   np.roll(np.asarray(skl.nu_c), 1, axis=0))
     np.testing.assert_array_equal(np.asarray(from_right.amps),
                                   np.roll(np.asarray(skl.amps), -1, axis=0))
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_fused_halo_accumulate_matches_single_device(n_shards):
+    from spectrobot_tpu.data.synth import random_lines
+    from spectrobot_tpu.ops.opacity import (
+        KernelLines, accumulate_jnp, line_kernel_inputs,
+    )
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+    from spectrobot_tpu.parallel.dma_halo import fused_halo_accumulate_fn
+    from spectrobot_tpu.parallel.halo import (
+        nu_shard_edges, partition_kernel_lines,
+    )
+
+    ll = random_lines(500, 580.0, 720.0, seed=3)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32,
+                                    nu_ref=0.0)
+    kl = line_kernel_inputs(dl, 210.0, 120.0, 40.0,
+                            amp_weights=jnp.ones((2, dl.n_lines)))
+    kl32 = KernelLines(*[a.astype(jnp.float32) for a in kl])
+    nu = np.linspace(600.0, 700.0, 1024)
+    nu32 = jnp.asarray(nu, jnp.float32)
+    cutoff = 10.0
+    ref = np.asarray(accumulate_jnp(nu32, kl32, chunk=128, cutoff_cm1=cutoff))
+    edges = nu_shard_edges(nu, n_shards, cutoff)
+    skl = partition_kernel_lines(kl32, np.asarray(dl.nu0), edges,
+                                 round_to=128)
+    mesh = nu_ring_mesh(jax.devices()[:n_shards])
+    f = fused_halo_accumulate_fn(mesh, block_l=128, cutoff_cm1=cutoff,
+                                 interpret=True)
+    got = np.asarray(f(nu32, skl))
+    np.testing.assert_allclose(got, ref, rtol=5e-5,
+                               atol=np.abs(ref).max() * 1e-6)
