@@ -149,6 +149,9 @@ def _tau_prologue(lines: DeviceLines, cg: PathCG,
             y.reshape(R * NL, L), amps.reshape(R * NL, 2, L))
 
 
+_tau_prologue_jit = jax.jit(_tau_prologue)
+
+
 def layer_tau_pallas(
     nu_grid: jnp.ndarray,
     lines: DeviceLines,
@@ -172,8 +175,7 @@ def layer_tau_pallas(
     R, NL, S = cg.u.shape
     if nu_off is None:
         nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
-    prologue = jax.jit(_tau_prologue)
-    nu_c, sx, y, amps = prologue(lines, cg, nlte)
+    nu_c, sx, y, amps = _tau_prologue_jit(lines, cg, nlte)
     out = accumulate_pallas_batch(
         nu_off, np.asarray(lines.nu0), nu_c, sx, y, amps,
         tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
@@ -194,14 +196,16 @@ def limb_radiance_pallas(
     """Full limb/nadir radiance with the Pallas opacity kernel (call outside
     jit; the RT epilogue is jitted internally)."""
     dtau, dtau_em = layer_tau_pallas(nu_grid, lines, cg, nlte, **kw)
+    return _rt_epilogue_jit(nu_grid, cg, dtau, dtau_em, I_background)
 
-    @jax.jit
-    def epilogue(cg_, dtau_, dtau_em_, bg):
-        optics = optics_from_tau(nu_grid.astype(dtau_.dtype), cg_, dtau_,
-                                 dtau_em_)
-        return path_radiance(optics, cg_, bg)
 
-    return epilogue(cg, dtau, dtau_em, I_background)
+@jax.jit
+def _rt_epilogue(nu_grid, cg, dtau, dtau_em, bg):
+    optics = optics_from_tau(nu_grid.astype(dtau.dtype), cg, dtau, dtau_em)
+    return path_radiance(optics, cg, bg)
+
+
+_rt_epilogue_jit = _rt_epilogue
 
 
 def path_radiance(

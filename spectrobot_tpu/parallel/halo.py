@@ -134,9 +134,10 @@ def halo_accumulate_fn(
         in_specs=(P("nu"), specs_lines.nu_c, specs_lines.scale_x,
                   specs_lines.y, specs_lines.amps),
         out_specs=P(None, "nu"), check_vma=False)
+    jitted = jax.jit(fn)
 
     def apply(nu_grid, skl: ShardedKernelLines):
-        return jax.jit(fn)(nu_grid, skl.nu_c, skl.scale_x, skl.y, skl.amps)
+        return jitted(nu_grid, skl.nu_c, skl.scale_x, skl.y, skl.amps)
 
     return apply
 
