@@ -65,3 +65,22 @@ def test_plot_helpers(tmp_path):
     p3 = plot_averaging_kernels(str(tmp_path / "ak.png"), z, A, 9)
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 5000
+
+
+def test_profiling_utils(tmp_path):
+    import jax.numpy as jnp
+    from spectrobot_tpu.utils.profiling import (
+        annotate, kernel_roofline, stopwatch, trace,
+    )
+    from spectrobot_tpu.utils.runlog import RunLogger
+
+    with annotate("opacity"):
+        x = jnp.ones((8,)) * 2.0
+    log = RunLogger(str(tmp_path / "t.jsonl"))
+    with stopwatch("stage", sink=log):
+        pass
+    info = kernel_roofline(n_pairs=1e9, wall_s=0.05)
+    assert info["pairs_per_s"] == 2e10
+    assert info["arithmetic_intensity_flops_per_byte"] > 100
+    with trace(str(tmp_path / "trace")):
+        jnp.sum(x).block_until_ready()
