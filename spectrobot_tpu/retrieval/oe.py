@@ -44,6 +44,7 @@ class RetrievalResult:
     converged: bool
     S_hat: np.ndarray            # posterior covariance
     A_kernel: np.ndarray         # averaging-kernel matrix
+    dof: float                   # degrees of freedom for signal, tr(A)
     history: List[Dict]          # per-iteration records
     K: np.ndarray                # final Jacobian
 
@@ -169,5 +170,5 @@ def retrieve(
     return RetrievalResult(
         x=np.asarray(x), chi2=chi2, chi2_meas=float(chi2_m),
         n_iter=it + 1, converged=converged, S_hat=S_hat, A_kernel=A_kernel,
-        history=history, K=np.asarray(K),
+        dof=float(np.trace(A_kernel)), history=history, K=np.asarray(K),
     )

@@ -65,3 +65,22 @@ def test_config2_physical_behaviour():
     # Limb radiance is bounded by the warmest layer Planck function.
     b_max = numpy_ref.planck(nu, float(np.asarray(atm.T).max()))
     assert np.all(got <= b_max[None, :] * (1 + 1e-9))
+
+
+def test_config2_twenty_tangent_heights():
+    # The literal config-2 geometry: 20 tangent heights in one batch.
+    atm = mars_standard_atmosphere(n_lev=21, z_top=90e3)
+    ll = co2_15um_band(j_max=15)
+    dl = device_lines_from_linelist(ll, SPECIES_PAIRS, dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(660.0, 675.0, 600))
+    h_t = jnp.asarray(np.linspace(5e3, 85e3, 20))
+    cg = limb_path_cg(atm, SPECIES_NAMES, h_t, MARS, n_sub=2)
+    I = np.asarray(_jit_limb(nu, dl, cg))
+    assert I.shape == (20, 600)
+    assert np.isfinite(I).all() and (I >= 0).all()
+    # Radiance in the band core decreases with height above the peak of the
+    # weighting functions; top rays are nearly empty.
+    core = np.abs(np.asarray(nu) - 667.4) < 2.0
+    means = I[:, core].mean(axis=1)
+    assert means[0] > 10 * means[-1]
+    assert np.all(np.diff(means[5:]) < 0)

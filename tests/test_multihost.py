@@ -1,0 +1,30 @@
+"""Multi-host runtime bootstrap (SURVEY.md 5.4: 'multi-host DCN logic tested
+by spawning multiple jax.distributed processes on localhost').
+
+Two separate processes initialise through parallel.mesh.initialize_multihost
+(Gloo CPU collectives stand in for DCN), build a process-spanning mesh and
+reduce a global array across hosts.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+def test_two_process_global_reduction():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": repo + ":" + os.environ.get("PYTHONPATH", "")}
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tests", "multihost", "worker.py"),
+         str(port), str(i), "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=repo, env=env) for i in range(2)]
+    outs = [p.communicate(timeout=220)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-2000:]}"
+    assert "MULTIHOST_OK" in outs[0], outs[0][-2000:]

@@ -115,7 +115,8 @@ def test_config5_retrieval_converges(scene, tmp_path):
     ak_diag = np.diag(res.A_kernel)
     assert ak_diag.min() > -1e-9 and ak_diag.max() <= 1.0 + 1e-9
     # DOFs: the measurement actually constrains several parameters.
-    assert ak_diag.sum() > 2.0
+    assert res.dof > 2.0
+    np.testing.assert_allclose(res.dof, ak_diag.sum(), rtol=1e-12)
 
     # Checkpoint/resume: the checkpointer recorded accepted iterations, and a
     # fresh retrieve() with the same checkpointer resumes instead of
