@@ -204,12 +204,16 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
                       nu.dtype) if cfg.geometry.mode == "limb" else None
     sec = (None if cfg.geometry.mode == "limb"
            else jnp.asarray(cfg.geometry.sec_theta, nu.dtype))
+    # The Pallas engine wins for big line lists; for small ones the XLA scan
+    # is faster (kernel call/padding overheads dominate under ~4k lines).
+    engine = ("pallas" if cfg.compute.use_pallas and dl.n_lines >= 4096
+              and jax.devices()[0].platform == "tpu" else "jnp")
     fwd = build_forward(
         atm, dl, nu, species_names, planet, tangent_heights_m=h_t,
         sec_theta=sec, T_surface=cfg.geometry.t_surface, ils_W=W,
         n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
         cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
-        nu_off=nu_off)
+        nu_off=nu_off, engine=engine)
 
     retrieve_vmr = list(cfg.retrieval.retrieve_vmr)
     state0 = make_state(atm, retrieve_vmr)

@@ -47,6 +47,8 @@ def layer_tau(
     chunk: int = 256,
     analytic_jvp: bool = True,
     nu_off: Optional[jnp.ndarray] = None,
+    engine: str = "jnp",
+    interpret: bool = False,
 ):
     """Raw per-(ray, layer) line sums: (dtau, dtau_em), each [R, NL, P].
 
@@ -67,7 +69,8 @@ def layer_tau(
     # analytic_jvp=False falls back to plain-AD accumulation (reverse-mode).
     if analytic_jvp:
         acc_op = make_accumulate_op(chunk=chunk, variant=variant,
-                                    cutoff_cm1=cutoff_cm1)
+                                    cutoff_cm1=cutoff_cm1, engine=engine,
+                                    interpret=interpret)
     else:
         from spectrobot_tpu.ops.opacity import accumulate_jnp
         from spectrobot_tpu.ops.opacity import KernelLines as _KL

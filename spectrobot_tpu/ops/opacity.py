@@ -274,11 +274,52 @@ def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
     return unr(ct_nc), unr(ct_sx), unr(ct_y), ct_amps
 
 
+def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
+                          block_l: int = 256,
+                          cutoff_cm1: Optional[float] = 25.0,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Pallas stage-2 accumulation callable INSIDE jit: every line block is
+    visited for every tile (window tables are static all-blocks), with the
+    exact in-kernel |dnu| <= cutoff mask and block-level region dispatch
+    doing the skipping work.  No host-side data needed, so this composes
+    with jit/vmap — the kernel engine for the DIFFERENTIABLE paths.  The
+    windowed variant (ops.pallas_opacity.accumulate_pallas) stays faster for
+    very wide grids where most blocks are skippable."""
+    from spectrobot_tpu.ops.pallas_opacity import (
+        _accumulate_padded, _round_up)
+
+    P = nu_grid.shape[0]
+    L = kl.nu_c.shape[0]
+    n_out = kl.amps.shape[0]
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+
+    nu_pad = jnp.full((Pp,), 1e6, jnp.float32).at[:P].set(
+        nu_grid.astype(jnp.float32))
+    padl = lambda a, fill: jnp.full((Lp,), fill, jnp.float32).at[:L].set(
+        a.astype(jnp.float32))
+    amps_p = jnp.zeros((n_out, Lp), jnp.float32).at[:, :L].set(
+        kl.amps.astype(jnp.float32))
+    n_tiles = Pp // tile_p
+    n_blocks = Lp // block_l
+    starts = jnp.zeros((n_tiles,), jnp.int32)
+    counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+    out = _accumulate_padded(
+        nu_pad.reshape(Pp, 1), padl(kl.nu_c, 1e7).reshape(1, Lp),
+        padl(kl.scale_x, 1e6).reshape(1, Lp), padl(kl.y, 1e6).reshape(1, Lp),
+        amps_p, starts, counts, max_blocks=n_blocks, tile_p=tile_p,
+        block_l=block_l, cutoff_cm1=cutoff_cm1, interpret=interpret)
+    return out[:, :P]
+
+
 def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
-                       cutoff_cm1: Optional[float] = 25.0):
+                       cutoff_cm1: Optional[float] = 25.0,
+                       engine: str = "jnp", interpret: bool = False):
     """Build accumulate(nu_grid, nu_c, scale_x, y, amps) -> [n_out, P] with
     the ANALYTIC custom JVP above.  nu_grid is non-differentiated (static
-    instrument grid).
+    instrument grid).  engine: 'jnp' (XLA, any backend/dtype) or 'pallas'
+    (TPU kernel primal via :func:`accumulate_pallas_jit`, float32, jit- and
+    vmap-composable; the analytic tangent stays on the jnp basis path).
 
     FORWARD-mode only: jax.jacfwd / jax.jvp get the shared-basis analytic
     tangent (one Voigt pass for the whole Jacobian).  Reverse-mode (grad /
@@ -292,7 +333,12 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
     kw = dict(chunk=chunk, variant=variant, cutoff_cm1=cutoff_cm1)
 
     def _primal(nu_grid, nu_c, sx, y, amps):
-        return accumulate_jnp(nu_grid, KernelLines(nu_c, sx, y, amps), **kw)
+        kl = KernelLines(nu_c, sx, y, amps)
+        if engine == "pallas":
+            return accumulate_pallas_jit(nu_grid, kl, cutoff_cm1=cutoff_cm1,
+                                         interpret=interpret).astype(
+                jnp.result_type(nu_grid))
+        return accumulate_jnp(nu_grid, kl, **kw)
 
     @jax.custom_jvp
     def acc(nu_grid, nu_c, sx, y, amps):

@@ -62,6 +62,7 @@ def build_forward(
     chunk: int = 256,
     analytic_jvp: bool = True,
     nu_off: Optional[jnp.ndarray] = None,
+    engine: str = "jnp",
 ) -> Callable[[Dict], jnp.ndarray]:
     """Build F: state -> y.
 
@@ -71,7 +72,7 @@ def build_forward(
     Output y is flattened [n_ray * n_chan].
     """
     kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
-              analytic_jvp=analytic_jvp, nu_off=nu_off)
+              analytic_jvp=analytic_jvp, nu_off=nu_off, engine=engine)
 
     def forward(state: Dict) -> jnp.ndarray:
         atm = apply_state(base_atm, state)

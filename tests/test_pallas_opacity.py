@@ -94,3 +94,30 @@ def test_batched_interpret_parity():
     I_got = np.asarray(limb_radiance_pallas(nu, dl, cg, interpret=True))
     np.testing.assert_allclose(I_got, I_ref, rtol=3e-5,
                                atol=I_ref.max() * 1e-5)
+
+
+def test_pallas_jit_engine_full_forward_parity():
+    # The jit-composable pallas engine through the full differentiable
+    # forward (layer_tau -> RT), interpret mode.
+    import jax
+    from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+    from spectrobot_tpu.data.synth import co2_15um_band
+    from spectrobot_tpu.forward.geometry import limb_path_cg
+    from spectrobot_tpu.forward.limb import limb_radiance
+
+    atm = mars_standard_atmosphere(n_lev=7, z_top=60e3)
+    atm = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, atm)
+    dl = device_lines_from_linelist(co2_15um_band(j_max=10), [(2, 1)],
+                                    dtype=jnp.float32)
+    nu_host = np.linspace(660, 674, 500)
+    nu = jnp.asarray(nu_host, jnp.float32)
+    nu_off = jnp.asarray(nu_host - float(dl.nu_ref), jnp.float32)
+    cg = limb_path_cg(atm, ["CO2"], jnp.asarray([8e3, 30e3], jnp.float32),
+                      MARS, n_sub=2)
+    ref = np.asarray(jax.jit(lambda: limb_radiance(
+        nu, dl, cg, chunk=128, nu_off=nu_off))())
+    got = np.asarray(jax.jit(lambda: limb_radiance(
+        nu, dl, cg, chunk=128, nu_off=nu_off, engine="pallas",
+        interpret=True))())
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=ref.max() * 1e-6)
