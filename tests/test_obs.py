@@ -84,3 +84,30 @@ def test_profiling_utils(tmp_path):
     assert info["arithmetic_intensity_flops_per_byte"] > 100
     with trace(str(tmp_path / "trace")):
         jnp.sum(x).block_until_ready()
+
+
+def test_debug_utils():
+    import jax
+    import jax.numpy as jnp
+    from spectrobot_tpu.utils.debug import assert_finite, checked
+
+    def f(x):
+        return jnp.log(x)            # NaN for x < 0
+
+    g = checked(f)
+    err, out = g(jnp.asarray([1.0, 2.0]))
+    err.throw()                      # clean input -> no raise
+    err, out = g(jnp.asarray([-1.0]))
+    try:
+        err.throw()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+    @jax.jit
+    def h(x):
+        return assert_finite("h", x) * 2.0
+
+    np.testing.assert_allclose(np.asarray(h(jnp.asarray([1.0, 2.0]))),
+                               [2.0, 4.0])
