@@ -69,8 +69,14 @@ long spectrobot_parse_par(
       // Strip trailing CR.
       if (p[len - 1] == '\r') --len;
       mol_id[k] = parse_i(p + 0, 2);
-      int iso = parse_i(p + 2, 1);
-      iso_id[k] = iso == 0 ? 10 : iso;  // HITRAN: '0' means isotopologue 10
+      // HITRAN iso column: '1'-'9', '0' = 10, 'A' = 11, 'B' = 12.
+      char ic = p[2];
+      int iso;
+      if (ic >= '1' && ic <= '9') iso = ic - '0';
+      else if (ic == '0') iso = 10;
+      else if (ic >= 'A' && ic <= 'Z') iso = 11 + (ic - 'A');
+      else iso = 0;
+      iso_id[k] = iso;
       nu0[k] = parse_f(p + 3, 12);
       sw[k] = parse_f(p + 15, 10);
       a[k] = parse_f(p + 25, 10);

@@ -82,10 +82,17 @@ def build_scene(cfg):
     dtype = jnp.float64 if cfg.compute.dtype == "float64" else jnp.float32
     planet, atm = _build_atmosphere(cfg)
     ll = _build_lines(cfg)
+    # One species row per (mol, iso) pair ACTUALLY PRESENT in the line list
+    # (expanding every registered isotopologue would multiply CG and
+    # per-line work for empty rows).
+    present = {(int(m), int(i)) for m, i in zip(ll.mol_id, ll.iso_id)}
     pairs = []
     for name in cfg.scene.species:
         mol = molecule_by_name(name)
-        pairs.extend((mol.mol_id, iso) for iso in mol.isotopologues)
+        pairs.extend((mol.mol_id, iso) for iso in mol.isotopologues
+                     if (mol.mol_id, iso) in present)
+        if not any(p[0] == mol.mol_id for p in pairs):
+            pairs.append((mol.mol_id, 1))   # keep the row (no lines yet)
     dl = device_lines_from_linelist(ll, pairs, dtype=dtype)
     # Map species rows back: rows are per (mol, iso); VMR lookup uses the
     # molecule name of each pair.
@@ -97,13 +104,15 @@ def build_scene(cfg):
     # Offset grid staged from float64 (f32-precision dnu; DeviceLines doc).
     nu_off = jnp.asarray(nu_host - float(dl.nu_ref), dtype)
     W = None
+    chans = np.asarray(nu_host)
     if cfg.instrument.enabled:
         lo = cfg.instrument.chan_min or cfg.grid.nu_min + 2 * cfg.instrument.fwhm_cm1
         hi = cfg.instrument.chan_max or cfg.grid.nu_max - 2 * cfg.instrument.fwhm_cm1
-        W = jnp.asarray(
-            ils_matrix(np.asarray(nu), np.linspace(lo, hi, cfg.instrument.n_channels),
-                       cfg.instrument.fwhm_cm1, cfg.instrument.shape), dtype)
-    return planet, atm, dl, species_names, nu, nu_off, W
+        chans = np.linspace(lo, hi, cfg.instrument.n_channels)
+        W = jnp.asarray(ils_matrix(np.asarray(nu), chans,
+                                   cfg.instrument.fwhm_cm1,
+                                   cfg.instrument.shape), dtype)
+    return planet, atm, dl, species_names, nu, nu_off, W, chans
 
 
 def cmd_forward(cfg) -> dict:
@@ -113,7 +122,7 @@ def cmd_forward(cfg) -> dict:
     from spectrobot_tpu.forward.limb import limb_radiance, nadir_radiance
     from spectrobot_tpu.ops.ils import apply_ils
 
-    planet, atm, dl, species_names, nu, nu_off, W = build_scene(cfg)
+    planet, atm, dl, species_names, nu, nu_off, W, _chans = build_scene(cfg)
     kw = dict(variant=cfg.compute.variant, cutoff_cm1=cfg.compute.cutoff_cm1,
               chunk=cfg.compute.chunk, nu_off=nu_off)
     use_pallas = (cfg.compute.use_pallas
@@ -125,6 +134,10 @@ def cmd_forward(cfg) -> dict:
     m_nu = cfg.compute.mesh_nu or max(n_dev // max(m_ray * m_line, 1), 1)
     mesh_shape = (m_ray, m_line, m_nu)
     use_mesh = int(np.prod(mesh_shape)) > 1
+    if use_mesh and cfg.geometry.mode != "limb":
+        raise NotImplementedError(
+            "mesh forward (compute.mesh_* > 1) currently supports limb "
+            "geometry only — unset the mesh axes for nadir runs")
     t0 = time.time()
     if use_mesh and cfg.geometry.mode == "limb":
         from spectrobot_tpu.parallel.mesh import make_mesh
@@ -144,7 +157,7 @@ def cmd_forward(cfg) -> dict:
                                 cutoff_cm1=cfg.compute.cutoff_cm1,
                                 chunk=cfg.compute.chunk)
         nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
-        I = f(nu_s, lines_s, cg_s)
+        I = f(nu_s, lines_s, cg_s, nu_off=nu_off)
         print(f"mesh forward over {dict(zip(('ray','line','nu'), mesh_shape))}",
               file=sys.stderr)
     elif cfg.geometry.mode == "limb":
@@ -199,7 +212,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     from spectrobot_tpu.utils.checkpoint import Checkpointer
     from spectrobot_tpu.utils.runlog import RunLogger
 
-    planet, atm, dl, species_names, nu, nu_off, W = build_scene(cfg)
+    planet, atm, dl, species_names, nu, nu_off, W, chans = build_scene(cfg)
     h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                       nu.dtype) if cfg.geometry.mode == "limb" else None
     sec = (None if cfg.geometry.mode == "limb"
@@ -232,9 +245,6 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     from spectrobot_tpu.retrieval.obs import Observation
 
     n_chan = (W.shape[0] if W is not None else nu.shape[0])
-    chans = (np.linspace(cfg.instrument.chan_min or float(nu[0]),
-                         cfg.instrument.chan_max or float(nu[-1]), n_chan)
-             if W is not None else np.asarray(nu))
     if y_obs is not None:
         noise = cfg.instrument.noise or 0.005 * float(np.max(y_obs))
         n_ray = (len(cfg.geometry.tangent_heights_km)

@@ -146,8 +146,24 @@ def apply_overrides(cfg: Config, overrides: dict) -> Config:
             raise KeyError(f"override must be section.key, got {dotted!r}")
         section = getattr(cfg, sec)
         old = getattr(section, key)      # raises on unknown key
-        if old is not None and not isinstance(old, (tuple, type(None))):
+        if isinstance(old, bool) and isinstance(value, str):
+            low = value.strip().lower()
+            if low in ("true", "1", "yes", "on"):
+                value = True
+            elif low in ("false", "0", "no", "off"):
+                value = False
+            else:
+                raise ValueError(f"{dotted}: not a boolean: {value!r}")
+        elif old is not None and not isinstance(old, (tuple, type(None))):
             value = type(old)(value)
+        elif old is None and isinstance(value, str):
+            # Optional fields default to None; best-effort numeric coercion.
+            for cast in (int, float):
+                try:
+                    value = cast(value)
+                    break
+                except ValueError:
+                    pass
         elif isinstance(old, tuple) and isinstance(value, str):
             value = tuple(type(old[0])(x) if old else x
                           for x in value.split(","))

@@ -254,10 +254,14 @@ def _parse_records(records: List[str]) -> LineList:
         return mat[:, a - 1 : b].view(f"S{b - a + 1}").ravel()
 
     mol_id = _parse_float_col(col(1, 2)).astype(np.int32)
-    iso_raw = col(3, 3)
-    # HITRAN uses 0 to mean iso 10 for some molecules; keep simple 1..9 here.
-    iso_id = _parse_float_col(iso_raw).astype(np.int32)
-    iso_id = np.where(iso_id == 0, 10, iso_id).astype(np.int32)
+    # HITRAN isotopologue column: '1'-'9', then '0' = 10, 'A' = 11, 'B' = 12
+    # (extended alphabetic codes for CO2).
+    iso_raw = np.char.strip(col(3, 3))
+    iso_id = np.zeros(n, dtype=np.int32)
+    for code, val in [(b"0", 10), (b"A", 11), (b"B", 12)]:
+        iso_id[iso_raw == code] = val
+    digit = np.char.isdigit(iso_raw) & (iso_raw != b"0")
+    iso_id[digit] = iso_raw[digit].astype(np.int32)
 
     cols: Dict[str, np.ndarray] = {
         "mol_id": mol_id,

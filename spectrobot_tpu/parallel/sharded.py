@@ -63,21 +63,22 @@ def sharded_radiance_fn(
     arrays do (flat), and the struct is rebuilt locally.
     """
 
-    def body(nu_loc, lines_loc, u, T_sp, p_sp, ps_sp, T_air, seg_layer,
-             nlte_loc, bg_loc):
+    def body(nu_loc, nu_off_loc, lines_loc, u, T_sp, p_sp, ps_sp, T_air,
+             seg_layer, nlte_loc, bg_loc):
         cg_loc = PathCG(u=u, T_sp=T_sp, p_sp=p_sp, p_self_sp=ps_sp,
                         T_air=T_air, seg_layer=seg_layer,
                         seg_count=int(seg_layer.shape[0]), is_limb=True)
         dtau, dtau_em = layer_tau(
             nu_loc, lines_loc, cg_loc, nlte_loc,
-            variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk)
+            variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
+            nu_off=nu_off_loc)
         # C23: complete the line sums across the line axis (single psum).
         dtau, dtau_em = lax.psum((dtau, dtau_em), "line")
         optics = optics_from_tau(nu_loc, cg_loc, dtau, dtau_em)
         return path_radiance(optics, cg_loc, bg_loc)
 
     in_specs = (
-        P("nu"),
+        P("nu"), P("nu"),
         LINES_SPECS,
         P("ray"), P("ray"), P("ray"), P("ray"), P("ray"), P(),
         NLTE_SPECS if has_nlte else None,
@@ -89,9 +90,13 @@ def sharded_radiance_fn(
                        out_specs=out_specs, check_vma=False)
     jitted = jax.jit(fn)
 
-    def apply(nu_grid, lines, cg: PathCG, nlte=None, I_bg=None):
-        return jitted(nu_grid, lines, cg.u, cg.T_sp, cg.p_sp, cg.p_self_sp,
-                      cg.T_air, cg.seg_layer, nlte, I_bg)
+    def apply(nu_grid, lines, cg: PathCG, nlte=None, I_bg=None, nu_off=None):
+        if nu_off is None:
+            # f64 grids lose nothing here; f32 callers should stage nu_off
+            # from float64 (see DeviceLines docstring).
+            nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
+        return jitted(nu_grid, nu_off, lines, cg.u, cg.T_sp, cg.p_sp,
+                      cg.p_self_sp, cg.T_air, cg.seg_layer, nlte, I_bg)
 
     return apply
 

@@ -150,3 +150,15 @@ output_dir = "{tmp_path}/out_mesh"
     with np.load(os.path.join(str(tmp_path), "out_single", "forward.npz")) as z:
         I_single = z["radiance"]
     np.testing.assert_allclose(I_mesh, I_single, rtol=1e-10)
+
+
+def test_bool_and_optional_overrides():
+    # Review findings: bool('false') was True; None-default stayed str.
+    cfg = load_config(None, {"compute.use_pallas": "false"})
+    assert cfg.compute.use_pallas is False
+    cfg = load_config(None, {"compute.use_pallas": "true"})
+    assert cfg.compute.use_pallas is True
+    with pytest.raises(ValueError):
+        load_config(None, {"compute.use_pallas": "maybe"})
+    cfg = load_config(None, {"lines.min_sw": "1e-25"})
+    assert isinstance(cfg.lines.min_sw, float) and cfg.lines.min_sw == 1e-25

@@ -68,3 +68,16 @@ def test_band_generator_statistics():
     assert len(ll) == 81  # 40 P lines + 41 R lines
     # Band strength normalisation: sum of line strengths = s_band
     np.testing.assert_allclose(ll.sw.sum(), 8.0e-18, rtol=1e-2)
+
+
+def test_extended_iso_codes():
+    # HITRAN CO2 catalogs carry iso codes '0' (10), 'A' (11), 'B' (12).
+    base = format_par_record(2, 1, 700.0, 1e-20, 1.0, 0.07, 0.09, 100.0,
+                             0.7, -0.002)
+    recs = [base[:2] + c + base[3:] for c in "90AB"]
+    ll = parse_par_text("\n".join(recs), use_native="never")
+    assert list(ll.iso_id) == [9, 10, 11, 12]
+    from spectrobot_tpu.data import hitran_native
+    if hitran_native.available():
+        ll2 = parse_par_text("\n".join(recs), use_native="always")
+        assert list(ll2.iso_id) == [9, 10, 11, 12]
