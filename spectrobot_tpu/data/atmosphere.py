@@ -11,7 +11,7 @@ the retrieval differentiates through, SURVEY.md C15/C16).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

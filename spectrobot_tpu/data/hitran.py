@@ -33,7 +33,7 @@ HITRAN 2004+ .par record layout (fixed width, 160 chars):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

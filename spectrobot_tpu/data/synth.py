@@ -11,12 +11,11 @@ line-density, strength-contrast and width statistics.  Dropping in a real
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
 from spectrobot_tpu.constants import C2, T_REF
-from spectrobot_tpu.data import tips
 from spectrobot_tpu.data.hitran import LineList, format_par_record, parse_par_text
 from spectrobot_tpu.data.molparams import MOLECULES
 

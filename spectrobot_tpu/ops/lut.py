@@ -59,7 +59,6 @@ def build_lut(
     logp_grid = jnp.linspace(np.log10(p_min), np.log10(p_max), n_p)
     dt = nu_grid.dtype
 
-    @jax.jit
     def one_point(T, logp):
         p = 10.0 ** logp
         outs = []
@@ -72,10 +71,11 @@ def build_lut(
             outs.append(sa)
         return jnp.stack(outs)                    # [S, P]
 
-    rows = []
-    for ti in range(n_T):
-        cols = [one_point(T_grid[ti], logp_grid[qi]) for qi in range(n_p)]
-        rows.append(jnp.stack(cols, axis=1))      # [S, nQ, P]
+    # The reference builds its LUT with a multiprocessing pool (SURVEY.md
+    # 4.3); here the pressure column is one on-device vmap batch per T row
+    # (bounded memory: nQ x S x P per step).
+    one_row = jax.jit(jax.vmap(one_point, in_axes=(None, 0), out_axes=1))
+    rows = [one_row(T_grid[ti], logp_grid) for ti in range(n_T)]
     sigma = jnp.stack(rows, axis=1)               # [S, nT, nQ, P]
     return OpacityLUT(nu_grid=nu_grid, T_grid=T_grid, logp_grid=logp_grid,
                       sigma=sigma, vmr_self=jnp.asarray(vs, dt))

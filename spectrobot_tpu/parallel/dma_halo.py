@@ -24,7 +24,7 @@ spectral-domain decomposition across a ring of chips).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,13 +27,13 @@ CPU-emulated mesh (SURVEY.md 5.4).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from spectrobot_tpu.ops.opacity import KernelLines, accumulate_jnp
 

@@ -22,7 +22,6 @@ to a halo exchange of wing contributions.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
