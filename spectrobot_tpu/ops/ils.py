@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,4 +71,5 @@ def ils_matrix(
 def apply_ils(spectra: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
     """I_chan = spectra @ W.T — batched over any leading axes (MXU matmul)."""
     return jnp.einsum("...p,cp->...c", spectra, W,
-                      preferred_element_type=spectra.dtype)
+                      preferred_element_type=spectra.dtype,
+                      precision=jax.lax.Precision.HIGHEST)

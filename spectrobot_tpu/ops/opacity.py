@@ -126,8 +126,12 @@ def accumulate_jnp(
         wr, _ = wofz(x, yb)
         if cutoff_cm1 is not None:
             wr = jnp.where(jnp.abs(dnu) <= cutoff_cm1, wr, 0.0)
-        # [n_out, P] += [n_out, chunk] @ [chunk, P] — MXU-friendly contraction.
-        acc = acc + jnp.einsum("oc,cp->op", am, wr)
+        # [n_out, P] += [n_out, chunk] @ [chunk, P] — MXU contraction.
+        # HIGHEST precision is REQUIRED on TPU: the default bf16 matmul's
+        # ~0.4% relative error on large cancelling terms corrupts saturated
+        # line cores (and catastrophically corrupts Jacobian tangents).
+        acc = acc + jnp.einsum("oc,cp->op", am, wr,
+                               precision=jax.lax.Precision.HIGHEST)
         return acc, None
 
     init = jnp.zeros((n_out, nu_grid.shape[0]), dtype=dt)
@@ -208,12 +212,15 @@ def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
         A5 = am * (-2.0 * r)[None, :]
         A6 = am * (-TWO_INV_SQRT_PI * dy)[None, :]
         xwr = x * wr
-        acc = acc + (jnp.einsum("oc,cp->op", A1, wr)
-                     + jnp.einsum("oc,cp->op", A2, wi)
-                     + jnp.einsum("oc,cp->op", A3, xwr)
-                     + jnp.einsum("oc,cp->op", A4, x * wi)
-                     + jnp.einsum("oc,cp->op", A5, x * xwr)
-                     + jnp.einsum("oc,cp->op", A6, m))
+        # HIGHEST precision: the basis terms cancel strongly (x^2 wr against
+        # negative coefficients); bf16 matmuls produce wrong-sign tangents.
+        hp = dict(precision=jax.lax.Precision.HIGHEST)
+        acc = acc + (jnp.einsum("oc,cp->op", A1, wr, **hp)
+                     + jnp.einsum("oc,cp->op", A2, wi, **hp)
+                     + jnp.einsum("oc,cp->op", A3, xwr, **hp)
+                     + jnp.einsum("oc,cp->op", A4, x * wi, **hp)
+                     + jnp.einsum("oc,cp->op", A5, x * xwr, **hp)
+                     + jnp.einsum("oc,cp->op", A6, m, **hp))
         return acc, None
 
     init = jnp.zeros((n_out, nu_grid.shape[0]), dtype=dt)
@@ -257,8 +264,9 @@ def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
         else:
             m = jnp.ones_like(wr)
         xwr = x * wr
-        # Abar_k[o, c] = <ct, basis_k> along p
-        Ab = lambda B: jnp.einsum("op,cp->oc", ct, B)
+        # Abar_k[o, c] = <ct, basis_k> along p (HIGHEST: see tangent note)
+        Ab = lambda B: jnp.einsum("op,cp->oc", ct, B,
+                                  precision=jax.lax.Precision.HIGHEST)
         Ab1, Ab2, Ab3 = Ab(wr), Ab(wi), Ab(xwr)
         Ab4, Ab5, Ab6 = Ab(x * wi), Ab(x * xwr), Ab(m)
         so = lambda M: jnp.sum(M * am, axis=0)       # sum over out-rows

@@ -141,6 +141,7 @@ def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
             amps_ref[:, :], wr,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 
@@ -244,6 +245,7 @@ def _batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
             amps_ref[0, :, :], wr,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 

@@ -154,7 +154,8 @@ def _fused_kernel(nu_ref, own_ref, out_ref, recv_l_ref, recv_r_ref,
             amps = src_ref[pl.ds(3, n_out), sl]
             out_ref[:, :] += jax.lax.dot_general(
                 amps, wr, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     out_ref[:, :] = jnp.zeros_like(out_ref)
     accumulate(own_ref)                       # overlaps the RDMAs

@@ -50,25 +50,34 @@ class RetrievalResult:
 
 
 def _chi2_terms(y, F, x, x_a, inv_se_diag, S_a_inv):
-    r = y - F
-    meas = jnp.dot(r * inv_se_diag, r)
-    dxa = x - x_a
-    prior = dxa @ (S_a_inv @ dxa)
+    """Host-side (float64 numpy) chi^2 bookkeeping."""
+    r = np.asarray(y, np.float64) - np.asarray(F, np.float64)
+    meas = float(np.dot(r * np.asarray(inv_se_diag, np.float64), r))
+    dxa = np.asarray(x, np.float64) - np.asarray(x_a, np.float64)
+    prior = float(dxa @ (np.asarray(S_a_inv, np.float64) @ dxa))
     return meas, prior
 
 
-@jax.jit
 def _lm_step(x, K, F, y, x_a, inv_se_diag, S_a_inv, lam):
-    """One LM solve:  (K^T Se^-1 K + S_a^-1 + lam*diag(S_a^-1)) dx = b."""
-    KtSe = K.T * inv_se_diag[None, :]
-    H = KtSe @ K + S_a_inv
-    D = jnp.diag(jnp.diag(S_a_inv))
-    A = H + lam * D
-    b = KtSe @ (y - F) - S_a_inv @ (x - x_a)
-    dx = jnp.linalg.solve(A, b)
-    # Rodgers convergence metric d^2 = dx^T (K^T Se^-1 (y-F) - ...)  ~ dx.b
-    d2 = dx @ b
-    return x + dx, dx, d2
+    """One LM solve:  (K^T Se^-1 K + S_a^-1 + lam*diag(S_a^-1)) dx = b.
+
+    Done in FLOAT64 NUMPY on the host: the normal equations routinely carry
+    condition numbers ~1e6+, and a float32 on-device solve produces garbage
+    steps (observed: |dx| ~ 4000 K on a TPU f32 retrieval that converges in
+    3 iterations in f64).  The solve is O(n_x^2) — microseconds next to the
+    device-side forward/Jacobian (SURVEY.md C16 "host-orchestrated loop").
+    """
+    x64 = np.asarray(x, np.float64)
+    K64 = np.asarray(K, np.float64)
+    w = np.asarray(inv_se_diag, np.float64)
+    Sai = np.asarray(S_a_inv, np.float64)
+    KtSe = K64.T * w[None, :]
+    H = KtSe @ K64 + Sai
+    A = H + lam * np.diag(np.diag(Sai))
+    b = KtSe @ (np.asarray(y, np.float64) - np.asarray(F, np.float64))         - Sai @ (x64 - np.asarray(x_a, np.float64))
+    dx = np.linalg.solve(A, b)
+    d2 = float(dx @ b)     # Rodgers convergence metric
+    return x64 + dx, dx, d2
 
 
 def retrieve(
@@ -90,11 +99,13 @@ def retrieve(
     logger: optional utils.runlog.RunLogger; checkpointer: optional
     utils.checkpoint.Checkpointer (resume supported via its ``latest()``).
     """
-    inv_se = jnp.asarray(1.0 / np.asarray(noise_sigma) ** 2)
-    S_a = np.asarray(S_a)
-    S_a_inv = jnp.asarray(np.linalg.inv(S_a))
-    x = jnp.asarray(x0)
-    x_a = jnp.asarray(x_a)
+    inv_se = np.asarray(1.0 / np.asarray(noise_sigma, np.float64) ** 2)
+    S_a = np.asarray(S_a, np.float64)
+    S_a_inv = np.linalg.inv(S_a)
+    x = np.asarray(x0, np.float64)
+    x_a = np.asarray(x_a, np.float64)
+    in_dtype = jnp.asarray(x0).dtype    # device compute dtype
+    dev = lambda v: jnp.asarray(v, in_dtype)
     lam = cfg.lm_lambda0
     history: List[Dict] = []
     start_iter = 0
@@ -102,12 +113,13 @@ def retrieve(
     if checkpointer is not None:
         ck = checkpointer.latest()
         if ck is not None:
-            x = jnp.asarray(ck["x"])
+            x = np.asarray(ck["x"], np.float64)
             lam = float(ck["lam"])
             start_iter = int(ck["iteration"]) + 1
             history = list(ck.get("history", []))
 
-    F = forward_flat(x)
+    F = np.asarray(forward_flat(dev(x)), np.float64)
+    y = np.asarray(y, np.float64)
     chi2_m, chi2_p = _chi2_terms(y, F, x, x_a, inv_se, S_a_inv)
     chi2 = float(chi2_m + chi2_p)
     converged = False
@@ -117,9 +129,9 @@ def retrieve(
 
     for it in range(start_iter, cfg.max_iter):
         t0 = time.time()
-        K = jacobian(x)
+        K = jacobian(dev(x))
         x_try, dx, d2 = _lm_step(x, K, F, y, x_a, inv_se, S_a_inv, lam)
-        F_try = forward_flat(x_try)
+        F_try = np.asarray(forward_flat(dev(x_try)), np.float64)
         m_try, p_try = _chi2_terms(y, F_try, x_try, x_a, inv_se, S_a_inv)
         chi2_try = float(m_try + p_try)
         accepted = chi2_try < chi2
@@ -127,7 +139,7 @@ def retrieve(
         rec = {
             "iteration": it, "lambda": float(lam), "chi2": chi2,
             "chi2_try": chi2_try, "accepted": bool(accepted),
-            "d2": float(d2), "norm_dx": float(jnp.linalg.norm(dx)),
+            "d2": float(d2), "norm_dx": float(np.linalg.norm(dx)),
             "wall_s": time.time() - t0,
         }
         history.append(rec)
@@ -159,7 +171,7 @@ def retrieve(
                 break
 
     if K is None:
-        K = jacobian(x)
+        K = jacobian(dev(x))
     # Posterior covariance and averaging kernels (Rodgers 2000).
     KtSe = np.asarray(K).T * np.asarray(inv_se)[None, :]
     H = KtSe @ np.asarray(K)
