@@ -128,16 +128,19 @@ def cmd_forward(cfg) -> dict:
     use_pallas = (cfg.compute.use_pallas
                   and jax.devices()[0].platform == "tpu")
 
-    # Mesh path (C20-C23): compute.mesh_* > 1 engages the sharded forward.
+    # Mesh path (C20-C23): engages only when the user EXPLICITLY sets any
+    # compute.mesh_* axis (defaults (1, 1, 0) stay single-device, so plain
+    # configs keep working on multi-chip hosts).
     n_dev = len(jax.devices())
     m_ray, m_line = cfg.compute.mesh_ray, cfg.compute.mesh_line
+    explicit_mesh = (m_ray, m_line, cfg.compute.mesh_nu) != (1, 1, 0)
     m_nu = cfg.compute.mesh_nu or max(n_dev // max(m_ray * m_line, 1), 1)
     mesh_shape = (m_ray, m_line, m_nu)
-    use_mesh = int(np.prod(mesh_shape)) > 1
+    use_mesh = explicit_mesh and int(np.prod(mesh_shape)) > 1
     if use_mesh and cfg.geometry.mode != "limb":
         raise NotImplementedError(
-            "mesh forward (compute.mesh_* > 1) currently supports limb "
-            "geometry only — unset the mesh axes for nadir runs")
+            "mesh forward (compute.mesh_*) currently supports limb geometry "
+            "only — leave the mesh axes at their defaults for nadir runs")
     t0 = time.time()
     if use_mesh and cfg.geometry.mode == "limb":
         from spectrobot_tpu.parallel.mesh import make_mesh
@@ -220,6 +223,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     # The Pallas engine wins for big line lists; for small ones the XLA scan
     # is faster (kernel call/padding overheads dominate under ~4k lines).
     engine = ("pallas" if cfg.compute.use_pallas and dl.n_lines >= 4096
+              and cfg.compute.variant == "humlicek4"
               and jax.devices()[0].platform == "tpu" else "jnp")
     fwd = build_forward(
         atm, dl, nu, species_names, planet, tangent_heights_m=h_t,

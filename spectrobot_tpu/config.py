@@ -157,13 +157,15 @@ def apply_overrides(cfg: Config, overrides: dict) -> Config:
         elif old is not None and not isinstance(old, (tuple, type(None))):
             value = type(old)(value)
         elif old is None and isinstance(value, str):
-            # Optional fields default to None; best-effort numeric coercion.
+            # Optional fields default to None; they are numeric by contract.
             for cast in (int, float):
                 try:
                     value = cast(value)
                     break
                 except ValueError:
                     pass
+            else:
+                raise ValueError(f"{dotted}: not a number: {value!r}")
         elif isinstance(old, tuple) and isinstance(value, str):
             value = tuple(type(old[0])(x) if old else x
                           for x in value.split(","))

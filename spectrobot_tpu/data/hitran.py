@@ -254,14 +254,17 @@ def _parse_records(records: List[str]) -> LineList:
         return mat[:, a - 1 : b].view(f"S{b - a + 1}").ravel()
 
     mol_id = _parse_float_col(col(1, 2)).astype(np.int32)
-    # HITRAN isotopologue column: '1'-'9', then '0' = 10, 'A' = 11, 'B' = 12
-    # (extended alphabetic codes for CO2).
+    # HITRAN isotopologue column: '1'-'9', '0' = 10, then letters 'A' = 11,
+    # 'B' = 12, ... (extended codes; matches native/hitran_parser.cpp).
     iso_raw = np.char.strip(col(3, 3))
     iso_id = np.zeros(n, dtype=np.int32)
-    for code, val in [(b"0", 10), (b"A", 11), (b"B", 12)]:
-        iso_id[iso_raw == code] = val
+    iso_id[iso_raw == b"0"] = 10
     digit = np.char.isdigit(iso_raw) & (iso_raw != b"0")
     iso_id[digit] = iso_raw[digit].astype(np.int32)
+    codes = iso_raw.view(np.uint8) if iso_raw.dtype.itemsize == 1 else None
+    letter = np.char.isupper(iso_raw)
+    iso_id[letter] = (iso_raw[letter].view(np.uint8).astype(np.int32)
+                      - ord("A") + 11)
 
     cols: Dict[str, np.ndarray] = {
         "mol_id": mol_id,

@@ -302,7 +302,14 @@ def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
     Pp = _round_up(max(P, tile_p), tile_p)
     Lp = _round_up(max(L, block_l), block_l)
 
-    nu_pad = jnp.full((Pp,), 1e6, jnp.float32).at[:P].set(
+    # Pad-fill semantics mirror ops.pallas_opacity.accumulate_pallas: padded
+    # grid points sit far above the data, padded lines are zero-amplitude
+    # and "far" (huge scale_x / y) so the block-minimum region-dispatch
+    # bound reflects only real lines.  Fills are data-relative (traced max)
+    # so the invariants hold for any coordinate origin.
+    far_nu = jnp.max(nu_grid).astype(jnp.float32) + 1e6
+    far_line = jnp.max(kl.nu_c).astype(jnp.float32) + 1e7
+    nu_pad = jnp.full((Pp,), far_nu, jnp.float32).at[:P].set(
         nu_grid.astype(jnp.float32))
     padl = lambda a, fill: jnp.full((Lp,), fill, jnp.float32).at[:L].set(
         a.astype(jnp.float32))
@@ -313,7 +320,7 @@ def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
     starts = jnp.zeros((n_tiles,), jnp.int32)
     counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
     out = _accumulate_padded(
-        nu_pad.reshape(Pp, 1), padl(kl.nu_c, 1e7).reshape(1, Lp),
+        nu_pad.reshape(Pp, 1), padl(kl.nu_c, far_line).reshape(1, Lp),
         padl(kl.scale_x, 1e6).reshape(1, Lp), padl(kl.y, 1e6).reshape(1, Lp),
         amps_p, starts, counts, max_blocks=n_blocks, tile_p=tile_p,
         block_l=block_l, cutoff_cm1=cutoff_cm1, interpret=interpret)
@@ -339,6 +346,11 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
     and validated (:func:`_tangent_transpose`) for when JAX composes.
     """
     kw = dict(chunk=chunk, variant=variant, cutoff_cm1=cutoff_cm1)
+    if engine == "pallas" and variant != "humlicek4":
+        raise ValueError(
+            "engine='pallas' evaluates humlicek4 only (the kernel's region "
+            "dispatch); use engine='jnp' for variant="
+            f"{variant!r} so primal and tangent share one evaluator")
 
     def _primal(nu_grid, nu_c, sx, y, amps):
         kl = KernelLines(nu_c, sx, y, amps)
