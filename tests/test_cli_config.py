@@ -162,3 +162,31 @@ def test_bool_and_optional_overrides():
         load_config(None, {"compute.use_pallas": "maybe"})
     cfg = load_config(None, {"lines.min_sw": "1e-25"})
     assert isinstance(cfg.lines.min_sw, float) and cfg.lines.min_sw == 1e-25
+
+
+def test_default_config_nadir_runs_on_multidevice_host(tmp_path, capsys):
+    # Regression: the auto-expanded mesh default must NOT engage the mesh
+    # path (this suite runs with 8 emulated devices, like a multi-chip
+    # host); untouched configs run single-device in any geometry.
+    from spectrobot_tpu.cli import main
+    cfg = tmp_path / "n.toml"
+    cfg.write_text(f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 128
+[scene]
+n_levels = 6
+z_top_m = 60e3
+[geometry]
+mode = "nadir"
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 64
+[run]
+output_dir = "{tmp_path}/out_nadir"
+""")
+    assert main(["forward", str(cfg)]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["radiance_shape"] == [1, 128]
