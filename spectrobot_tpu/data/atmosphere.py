@@ -91,6 +91,24 @@ class Atmosphere:
     def interp_vmr(self, name: str, z_q: jnp.ndarray) -> jnp.ndarray:
         return jnp.interp(z_q, self.z, self.vmr[name])
 
+    # -- persistence (matches the CLI scene loader's .npz layout) -----------
+
+    def save_npz(self, path: str) -> None:
+        arrays = {"z": np.asarray(self.z), "p": np.asarray(self.p),
+                  "T": np.asarray(self.T), "n": np.asarray(self.n)}
+        for k, v in self.vmr.items():
+            arrays[f"vmr_{k}"] = np.asarray(v)
+        np.savez_compressed(path, **arrays)
+
+    @staticmethod
+    def load_npz(path: str) -> "Atmosphere":
+        with np.load(path) as z:
+            return Atmosphere(
+                z=jnp.asarray(z["z"]), p=jnp.asarray(z["p"]),
+                T=jnp.asarray(z["T"]), n=jnp.asarray(z["n"]),
+                vmr={k[4:]: jnp.asarray(z[k]) for k in z.files
+                     if k.startswith("vmr_")})
+
 
 def hydrostatic_atmosphere(
     planet: Planet,

@@ -245,8 +245,34 @@ def nadir_radiance(
     nlte: Optional[DeviceNLTE] = None,
     **kw,
 ) -> jnp.ndarray:
-    """Nadir radiances [R, P] over a blackbody/grey surface."""
+    """Nadir radiances [R, P] over a grey surface.
+
+    For emissivity < 1 the surface boundary includes the REFLECTED
+    downwelling (Lambertian, same-angle approximation):
+
+        I_surface = eps * B(T_s) + (1 - eps) * I_down,
+
+    where I_down is the sky radiance reaching the surface — the same layer
+    optics integrated in the reversed (surface-first) segment order, at no
+    extra line-sum cost.  Kirchhoff sanity: an isothermal atmosphere +
+    surface at temperature T radiates exactly B(T) at ANY emissivity
+    (tested in test_limb_config2.py)."""
     optics = layer_optics(nu_grid, lines, cg, nlte, **kw)
     I_bg = emissivity * planck_nu(nu_grid, T_surface)
     I_bg = jnp.broadcast_to(I_bg, (optics.dtau.shape[0], nu_grid.shape[0]))
+    # Skip the downwelling pass only when emissivity is STATICALLY 1
+    # (a traced emissivity — e.g. a retrieved surface parameter — always
+    # carries the reflection term; it is linear-algebra cheap).
+    if not (isinstance(emissivity, (int, float)) and emissivity >= 1.0):
+        down = downwelling_radiance(optics, cg)
+        I_bg = I_bg + (1.0 - emissivity) * down
     return path_radiance(optics, cg, I_bg)
+
+
+def downwelling_radiance(optics: LayerOptics, cg: PathCG) -> jnp.ndarray:
+    """Sky radiance arriving at the surface [R, P]: the same layer optics
+    integrated surface-first (reversed segment order), deep space behind."""
+    rev = cg.seg_layer[::-1]
+    dtau_seg = optics.dtau[:, rev, :]
+    src_seg = optics.source[:, rev, :]
+    return radiance_along_ray(dtau_seg, src_seg, None)

@@ -68,6 +68,28 @@ def ils_matrix(
     return w / np.maximum(norm, 1e-300)
 
 
+def fov_matrix(
+    h_fine: np.ndarray,
+    h_centers: np.ndarray,
+    fwhm_m: float,
+    shape: str = "gaussian",
+    cutoff_fwhm: float = 6.0,
+) -> np.ndarray:
+    """Field-of-view smearing matrix over TANGENT HEIGHT (the FOV half of
+    SURVEY.md C14 "ILS/FOV convolution"): rows are area-normalised FOV
+    responses on the fine tangent-height ladder; apply as I_obs = V @ I with
+    I [n_fine_rays, P].  Mathematically identical machinery to
+    :func:`ils_matrix` in the vertical coordinate."""
+    return ils_matrix(h_fine, h_centers, fwhm_m, shape=shape,
+                      cutoff_fwhm=cutoff_fwhm)
+
+
+def apply_fov(radiances: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """I_obs [n_obs_rays, P] = V [n_obs, n_fine] @ I [n_fine, P]."""
+    return jnp.einsum("or,rp->op", V, radiances,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def apply_ils(spectra: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
     """I_chan = spectra @ W.T — batched over any leading axes (MXU matmul)."""
     return jnp.einsum("...p,cp->...c", spectra, W,

@@ -70,3 +70,13 @@ def test_titan_standard_atmosphere():
     assert T.min() < 75                  # tropopause minimum
     assert np.all(np.diff(np.asarray(atm.p)) < 0)
     assert abs(float(atm.vmr["N2"][0]) - 0.943) < 1e-6
+
+
+def test_atmosphere_npz_round_trip(tmp_path, mars_atm):
+    from spectrobot_tpu.data.atmosphere import Atmosphere
+    p = str(tmp_path / "atm.npz")
+    mars_atm.save_npz(p)
+    a2 = Atmosphere.load_npz(p)
+    np.testing.assert_allclose(np.asarray(a2.p), np.asarray(mars_atm.p))
+    np.testing.assert_allclose(np.asarray(a2.vmr["CO2"]),
+                               np.asarray(mars_atm.vmr["CO2"]))

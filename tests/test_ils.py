@@ -47,3 +47,16 @@ def test_smoothing_reduces_variance():
     spec = 1.0 + 0.5 * rng.standard_normal(nu.shape)
     out = np.asarray(apply_ils(jnp.asarray(spec), jnp.asarray(W)))
     assert out.std() < 0.1 * spec.std()
+
+
+def test_fov_smearing_over_tangent_heights():
+    from spectrobot_tpu.ops.ils import apply_fov, fov_matrix
+    h_fine = np.linspace(5e3, 60e3, 111)
+    h_obs = np.array([15e3, 30e3, 45e3])
+    V = fov_matrix(h_fine, h_obs, fwhm_m=3e3)
+    # Flat radiance ladder stays flat; smooth gradient averages locally.
+    I = jnp.asarray(np.outer(np.linspace(1.0, 0.1, 111), np.ones(17)))
+    out = np.asarray(apply_fov(I, jnp.asarray(V)))
+    assert out.shape == (3, 17)
+    expect = np.interp(h_obs, h_fine, np.linspace(1.0, 0.1, 111))
+    np.testing.assert_allclose(out[:, 0], expect, rtol=5e-3)
