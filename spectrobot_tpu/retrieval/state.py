@@ -27,20 +27,25 @@ from spectrobot_tpu.ops.ils import apply_ils
 from spectrobot_tpu.ops.strengths import DeviceLines
 
 
-def make_state(atm: Atmosphere, retrieve_vmr: Sequence[str]) -> Dict:
+def make_state(atm: Atmosphere, retrieve_vmr: Sequence[str],
+               T_surface: Optional[float] = None) -> Dict:
     """Initial state from an atmosphere: kinetic T profile + log-VMR profiles
-    of the retrieved species (log keeps VMRs positive under LM steps)."""
-    return {
+    of the retrieved species (log keeps VMRs positive under LM steps).
+    Pass ``T_surface`` to ALSO retrieve the surface temperature (nadir)."""
+    state = {
         "T": atm.T,
         "ln_vmr": {s: jnp.log(atm.vmr[s]) for s in retrieve_vmr},
     }
+    if T_surface is not None:
+        state["T_surface"] = jnp.asarray(T_surface, atm.T.dtype)
+    return state
 
 
 def apply_state(atm: Atmosphere, state: Dict) -> Atmosphere:
     out = atm.with_temperature(state["T"])
     for s, lv in state["ln_vmr"].items():
         out = out.with_vmr(s, jnp.exp(lv))
-    return out
+    return out  # (surface parameters are consumed by the forward, not atm)
 
 
 def build_forward(
@@ -79,8 +84,9 @@ def build_forward(
             cg = limb_path_cg(atm, species, tangent_heights_m, planet, n_sub)
             I = limb_radiance(nu_grid, lines, cg, nlte, **kw)
         else:
+            ts = state.get("T_surface", T_surface)  # retrievable (nadir)
             cg = nadir_path_cg(atm, species, sec_theta, n_sub)
-            I = nadir_radiance(nu_grid, lines, cg, T_surface, nlte=nlte, **kw)
+            I = nadir_radiance(nu_grid, lines, cg, ts, nlte=nlte, **kw)
         if ils_W is not None:
             I = apply_ils(I, ils_W)
         return I.reshape(-1)

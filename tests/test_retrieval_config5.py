@@ -143,3 +143,43 @@ def test_lm_rejects_bad_steps(scene):
                    jnp.full(y.shape, 1e-6), OEConfig(max_iter=4))
     assert res.converged
     assert res.chi2 < 1e-3
+
+
+def test_nadir_surface_temperature_retrieval():
+    # Nadir closed loop: retrieve T profile AND the surface temperature.
+    from spectrobot_tpu.data.synth import co2_15um_band
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    atm = mars_standard_atmosphere(n_lev=6, z_top=50e3)
+    dl = device_lines_from_linelist(co2_15um_band(j_max=8), [(2, 1)],
+                                    dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(650.0, 674.0, 300))
+    sec = jnp.asarray([1.0, 1.5])
+    T_s_true = 255.0
+
+    def make_fwd(base_atm, ts0):
+        fwd = build_forward(base_atm, dl, nu, ["CO2"], MARS, sec_theta=sec,
+                            T_surface=None, n_sub=2)
+        x0, unravel = flatten_state(make_state(base_atm, [], T_surface=ts0))
+        return jax.jit(lambda x: fwd(unravel(x))), x0
+
+    fwd_true, x_true = make_fwd(atm, T_s_true)
+    y_clean = np.asarray(fwd_true(x_true))
+    noise = 0.003 * y_clean.max()
+    rng = np.random.default_rng(3)
+    y = y_clean + noise * rng.standard_normal(y_clean.shape)
+
+    # Biased start: T profile +6 K, surface +12 K.
+    atm_b = atm.with_temperature(atm.T + 6.0)
+    fwd_flat, x0 = make_fwd(atm_b, T_s_true + 12.0)
+    n_x = x0.shape[0]
+    # ravel order: "T" (6), "T_surface" (1), "ln_vmr" (0)
+    S_a = np.diag(np.concatenate([np.full(6, 100.0), [400.0]]))
+    jac = jax.jit(lambda x: jax.jacfwd(fwd_flat)(x))
+    res = retrieve(fwd_flat, jac, jnp.asarray(y), x0, x0, S_a,
+                   jnp.full(y.shape, noise), OEConfig(max_iter=10))
+    assert res.converged
+    # Surface temperature recovered to ~1 K (it is strongly constrained by
+    # the window regions).
+    T_s_hat = res.x[6]
+    assert abs(T_s_hat - T_s_true) < 1.5, T_s_hat
