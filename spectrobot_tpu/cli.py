@@ -163,6 +163,29 @@ def cmd_forward(cfg) -> dict:
         I = f(nu_s, lines_s, cg_s, nu_off=nu_off)
         print(f"mesh forward over {dict(zip(('ray','line','nu'), mesh_shape))}",
               file=sys.stderr)
+    elif cfg.geometry.mode == "limb" and cfg.compute.use_lut:
+        # C9 LUT runtime (reference call stack 4.3): build once, interpolate
+        # per (ray, layer) instead of re-summing lines.  LTE only.
+        from spectrobot_tpu.forward.limb import optics_from_tau, path_radiance
+        from spectrobot_tpu.ops.lut import build_lut, layer_tau_lut
+        h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
+                          nu.dtype)
+        cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
+        vs = [float(atm.vmr[n_][0]) for n_ in species_names]
+        T_arr = np.asarray(atm.T)
+        p_arr = np.asarray(atm.p)
+        lut = build_lut(
+            nu, dl, n_species=len(species_names),
+            T_min=max(80.0, float(T_arr.min()) - 30.0),
+            T_max=float(T_arr.max()) + 30.0, n_T=cfg.compute.lut_n_T,
+            p_min=max(float(p_arr.min()) * 0.5, 1e-6),
+            p_max=float(p_arr.max()) * 2.0, n_p=cfg.compute.lut_n_p,
+            vmr_self=vs, variant=cfg.compute.variant,
+            cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk)
+        dtau = layer_tau_lut(lut, cg)
+        I = jax.jit(lambda d: path_radiance(
+            optics_from_tau(nu, cg, d, d), cg, None))(dtau)
+        print("LUT runtime forward (LTE)", file=sys.stderr)
     elif cfg.geometry.mode == "limb":
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)

@@ -66,6 +66,9 @@ class ComputeConfig:
     cutoff_cm1: float = 25.0
     chunk: int = 256
     use_pallas: bool = True             # Pallas kernel on TPU, jnp elsewhere
+    use_lut: bool = False               # (P,T) LUT runtime (LTE forward only)
+    lut_n_T: int = 21
+    lut_n_p: int = 25
     mesh_ray: int = 1
     mesh_line: int = 1
     mesh_nu: int = 0                    # 0 => all remaining devices

@@ -190,3 +190,37 @@ output_dir = "{tmp_path}/out_nadir"
     assert main(["forward", str(cfg)]) == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["radiance_shape"] == [1, 128]
+
+
+def test_cli_forward_lut_runtime(tmp_path, capsys):
+    # The C9 LUT runtime through the CLI, vs the direct line-sum run.
+    from spectrobot_tpu.cli import main
+    base = f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 200
+[scene]
+n_levels = 7
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [10.0, 30.0]
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 128
+"""
+    cfg1 = tmp_path / "lut.toml"
+    cfg1.write_text(base + f"use_lut = true\n[run]\noutput_dir = \"{tmp_path}/o1\"\n")
+    cfg2 = tmp_path / "direct.toml"
+    cfg2.write_text(base + f"[run]\noutput_dir = \"{tmp_path}/o2\"\n")
+    assert main(["forward", str(cfg1)]) == 0
+    assert main(["forward", str(cfg2)]) == 0
+    capsys.readouterr()
+    with np.load(os.path.join(str(tmp_path), "o1", "forward.npz")) as z:
+        I_lut = z["radiance"]
+    with np.load(os.path.join(str(tmp_path), "o2", "forward.npz")) as z:
+        I_dir = z["radiance"]
+    # LUT interpolation error budget (~<2%) on top of identical physics.
+    denom = np.maximum(I_dir, I_dir.max() * 1e-3)
+    assert np.max(np.abs(I_lut - I_dir) / denom) < 0.05
