@@ -58,6 +58,7 @@ def build_forward(
     sec_theta: Optional[jnp.ndarray] = None,
     T_surface: Optional[float] = None,
     ils_W: Optional[jnp.ndarray] = None,
+    fov_V: Optional[jnp.ndarray] = None,
     nlte: Optional[DeviceNLTE] = None,
     n_sub: int = 4,
     *,
@@ -72,8 +73,10 @@ def build_forward(
 
     Limb mode when ``tangent_heights_m`` is given (deep-space background),
     nadir mode when ``sec_theta``/``T_surface`` are given.  ``ils_W`` maps
-    the fine grid to instrument channels (None = raw fine-grid radiances).
-    Output y is flattened [n_ray * n_chan].
+    the fine grid to instrument channels; ``fov_V`` [n_obs, n_ray] smears a
+    fine tangent-height ladder into observed FOVs (ops.ils.fov_matrix) —
+    together the full C14 ILS/FOV convolution.  Output y is flattened
+    [n_obs_ray * n_chan].
     """
     kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
               analytic_jvp=analytic_jvp, nu_off=nu_off, engine=engine)
@@ -87,6 +90,9 @@ def build_forward(
             ts = state.get("T_surface", T_surface)  # retrievable (nadir)
             cg = nadir_path_cg(atm, species, sec_theta, n_sub)
             I = nadir_radiance(nu_grid, lines, cg, ts, nlte=nlte, **kw)
+        if fov_V is not None:
+            from spectrobot_tpu.ops.ils import apply_fov
+            I = apply_fov(I, fov_V)
         if ils_W is not None:
             I = apply_ils(I, ils_W)
         return I.reshape(-1)

@@ -60,3 +60,35 @@ def test_fov_smearing_over_tangent_heights():
     assert out.shape == (3, 17)
     expect = np.interp(h_obs, h_fine, np.linspace(1.0, 0.1, 111))
     np.testing.assert_allclose(out[:, 0], expect, rtol=5e-3)
+
+
+def test_fov_in_forward_builder():
+    import jax
+    from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+    from spectrobot_tpu.data.synth import co2_15um_band
+    from spectrobot_tpu.ops.ils import fov_matrix
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+    from spectrobot_tpu.retrieval.state import (
+        build_forward, flatten_state, make_state,
+    )
+
+    atm = mars_standard_atmosphere(n_lev=7, z_top=60e3)
+    dl = device_lines_from_linelist(co2_15um_band(j_max=8), [(2, 1)],
+                                    dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(660.0, 672.0, 150))
+    h_fine = np.linspace(8e3, 50e3, 15)
+    h_obs = np.array([15e3, 35e3])
+    V = jnp.asarray(fov_matrix(h_fine, h_obs, fwhm_m=6e3))
+    fwd = build_forward(atm, dl, nu, ["CO2"], MARS,
+                        tangent_heights_m=jnp.asarray(h_fine), fov_V=V,
+                        n_sub=2)
+    x0, unr = flatten_state(make_state(atm, []))
+    y = np.asarray(jax.jit(lambda x: fwd(unr(x)))(x0))
+    assert y.shape == (2 * 150,)
+    # FOV-smeared values sit within the fine-ladder envelope.
+    fwd_fine = build_forward(atm, dl, nu, ["CO2"], MARS,
+                             tangent_heights_m=jnp.asarray(h_fine), n_sub=2)
+    yf = np.asarray(jax.jit(lambda x: fwd_fine(unr(x)))(x0)).reshape(15, 150)
+    ys = y.reshape(2, 150)
+    assert np.all(ys <= yf.max(axis=0) + 1e-12)
+    assert np.all(ys >= yf.min(axis=0) - 1e-12)
