@@ -45,7 +45,7 @@ def layer_tau(
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
-    analytic_jvp: bool = True,
+    analytic_jvp=True,  # True/"fwd" | "rev" | False (ops.opacity._ad_mode)
     nu_off: Optional[jnp.ndarray] = None,
     engine: str = "jnp",
     interpret: bool = False,
@@ -60,17 +60,19 @@ def layer_tau(
     across the 'line' axis before the (nonlinear) source assembly — the
     split that makes C23 line-parallelism exact (SURVEY.md C23).
     """
-    from spectrobot_tpu.ops.opacity import make_accumulate_op
+    from spectrobot_tpu.ops.opacity import _ad_mode, make_accumulate_op
 
     R, NL, S = cg.u.shape
     lay_ids = jnp.arange(NL, dtype=jnp.int32)
-    # Accumulation op with ANALYTIC custom JVP: under jacfwd, the Voigt basis
-    # is shared across every Jacobian column (SURVEY.md 8.4 hard part 3).
-    # analytic_jvp=False falls back to plain-AD accumulation (reverse-mode).
-    if analytic_jvp:
+    # Accumulation op with ANALYTIC derivatives: under jacfwd the Voigt
+    # basis is shared across every Jacobian column (SURVEY.md 8.4 hard part
+    # 3); analytic_jvp='rev' swaps in the custom-VJP op (grad/jacrev via the
+    # explicit transpose); False falls back to plain-AD accumulation.
+    mode = _ad_mode(analytic_jvp)
+    if mode is not None:
         acc_op = make_accumulate_op(chunk=chunk, variant=variant,
                                     cutoff_cm1=cutoff_cm1, engine=engine,
-                                    interpret=interpret)
+                                    interpret=interpret, mode=mode)
     else:
         from spectrobot_tpu.ops.opacity import accumulate_jnp
         from spectrobot_tpu.ops.opacity import KernelLines as _KL

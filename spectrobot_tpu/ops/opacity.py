@@ -144,16 +144,53 @@ def accumulate_jnp(
 # PAPERS.md:9 "analytic Voigt derivatives")
 # ---------------------------------------------------------------------------
 #
-# d/dz w(z) = -2 z w + 2i/sqrt(pi) gives closed forms
-#   dK/dx = -2 (x wr - y wi),   dK/dy = 2 (x wi + y wr) - 2/sqrt(pi)
-# so the tangent of out[o,p] = sum_i amps[o,i] K(x_ip, y_i) decomposes over
-# SIX per-pair basis functions {wr, wi, x wr, x wi, x^2 wr, mask} with
-# per-line coefficient vectors.  The basis is tangent-INDEPENDENT: under
-# jax.jacfwd (vmap over tangents) it is evaluated once and every Jacobian
-# column is a cheap MXU contraction against it — the full analytic Jacobian
-# of the line sum costs ~2 extra Voigt passes instead of n_params passes.
+# The tangent of out[o,p] = sum_i amps[o,i] K(x_ip, y_i), with
+# x_ip = sx_i (nu_p - nu_c_i), decomposes over FOUR tangent-independent
+# per-pair basis functions
+#
+#     {K, Kx = dK/dx, xKx = x dK/dx, Ky = dK/dy}
+#
+# with per-line coefficient vectors:
+#
+#     d out = [d_amps] K + [-amps sx d_nu_c] Kx + [amps d_sx/sx] xKx
+#           + [amps d_y] Ky
+#
+# Because the basis is tangent-INDEPENDENT, under jax.jacfwd (vmap over
+# tangents) it is evaluated once and every Jacobian column is a cheap MXU
+# contraction against it — the full analytic Jacobian of the line sum costs
+# ~2 extra Voigt-grad passes instead of n_params passes.
+#
+# CONDITIONING (measured; tests/test_voigt.py, docs/ACCURACY.md): the
+# partials (Kx, Ky) must come from the closed-form derivative of the
+# Weideman approximant (voigt.wofz_weideman_grad), NOT from the exact
+# identity w' = -2 z w + 2i/sqrt(pi).  The identity's real part
+# -2(x wr - y wi) cancels to ~8 digits in deep wings (x ~ cutoff/alpha_D ~
+# 1e4), and a basis decomposition over {wr, wi, x wr, x wi, x^2 wr} defers
+# that cancellation to AFTER the line reduction — in float32 the Jacobian
+# of any optically thick layer came out with O(1) relative error (wrong
+# sign at saturated cores).  The approximant derivative is per-pair stable
+# (~1e-6 rel over the whole upper half plane, worst ~3e-3 at |x| ~ 1e4
+# where K ~ 1e-16).
 
-TWO_INV_SQRT_PI = 1.1283791670955126
+
+def _basis(nu_grid, nc, s, yy, *, variant, cutoff_cm1, dt):
+    """Per-(line, point) stable basis (K, Kx, xKx, Ky) for one line chunk.
+
+    K follows ``variant`` (primal parity); the partials always come from the
+    Weideman closed-form gradient (see conditioning note above).
+    """
+    dnu = nu_grid[None, :] - nc[:, None]
+    x = s[:, None] * dnu
+    ybc = jnp.broadcast_to(yy[:, None], x.shape)
+    wr, _, kx, ky = voigt_mod.wofz_weideman_grad(x, ybc)
+    if variant == "humlicek4":
+        wr, _ = voigt_mod.wofz_humlicek4(x, ybc)
+    if cutoff_cm1 is not None:
+        m = (jnp.abs(dnu) <= cutoff_cm1).astype(dt)
+        wr = wr * m
+        kx = kx * m
+        ky = ky * m
+    return wr, kx, x * kx, ky
 
 
 def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
@@ -187,40 +224,22 @@ def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
                resh(d_nu_c), resh(d_sx), resh(d_y),
                d_amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2))
 
-    wofz = (voigt_mod.wofz_humlicek4 if variant == "humlicek4"
-            else voigt_mod.wofz_weideman)
-
     def body(acc, ch):
         nc, s, yy, am, dnc, dsx, dy, dam = ch
-        dnu = nu_grid[None, :] - nc[:, None]
-        x = s[:, None] * dnu
-        ybc = jnp.broadcast_to(yy[:, None], x.shape)
-        wr, wi = wofz(x, ybc)
-        if cutoff_cm1 is not None:
-            m = (jnp.abs(dnu) <= cutoff_cm1).astype(dt)
-            wr = wr * m
-            wi = wi * m
-        else:
-            m = jnp.ones_like(wr)
-        # per-line tangent combos
-        r = dsx / s                      # [c]
-        sdn = s * dnc                    # [c]
-        A1 = dam + am * (2.0 * dy * yy)[None, :]
-        A2 = am * (-2.0 * sdn * yy)[None, :]
-        A3 = am * (2.0 * sdn)[None, :]
-        A4 = am * (2.0 * (r * yy + dy))[None, :]
-        A5 = am * (-2.0 * r)[None, :]
-        A6 = am * (-TWO_INV_SQRT_PI * dy)[None, :]
-        xwr = x * wr
-        # HIGHEST precision: the basis terms cancel strongly (x^2 wr against
-        # negative coefficients); bf16 matmuls produce wrong-sign tangents.
+        K, Kx, xKx, Ky = _basis(nu_grid, nc, s, yy, variant=variant,
+                                cutoff_cm1=cutoff_cm1, dt=dt)
+        B1 = dam                                    # [n_out, c]
+        B2 = am * (-s * dnc)[None, :]
+        B3 = am * (dsx / s)[None, :]
+        B4 = am * dy[None, :]
+        # HIGHEST precision is REQUIRED on TPU: bf16 matmuls corrupt the
+        # strongly varying tangent contractions (wrong-sign tangents at
+        # saturated line cores).
         hp = dict(precision=jax.lax.Precision.HIGHEST)
-        acc = acc + (jnp.einsum("oc,cp->op", A1, wr, **hp)
-                     + jnp.einsum("oc,cp->op", A2, wi, **hp)
-                     + jnp.einsum("oc,cp->op", A3, xwr, **hp)
-                     + jnp.einsum("oc,cp->op", A4, x * wi, **hp)
-                     + jnp.einsum("oc,cp->op", A5, x * xwr, **hp)
-                     + jnp.einsum("oc,cp->op", A6, m, **hp))
+        acc = acc + (jnp.einsum("oc,cp->op", B1, K, **hp)
+                     + jnp.einsum("oc,cp->op", B2, Kx, **hp)
+                     + jnp.einsum("oc,cp->op", B3, xKx, **hp)
+                     + jnp.einsum("oc,cp->op", B4, Ky, **hp))
         return acc, None
 
     init = jnp.zeros((n_out, nu_grid.shape[0]), dtype=dt)
@@ -248,32 +267,19 @@ def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
     stacked = (resh(nu_c), resh(sx), resh(y),
                amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2))
 
-    wofz = (voigt_mod.wofz_humlicek4 if variant == "humlicek4"
-            else voigt_mod.wofz_weideman)
-
     def body(_, ch):
         nc, s, yy, am = ch
-        dnu = nu_grid[None, :] - nc[:, None]
-        x = s[:, None] * dnu
-        ybc = jnp.broadcast_to(yy[:, None], x.shape)
-        wr, wi = wofz(x, ybc)
-        if cutoff_cm1 is not None:
-            m = (jnp.abs(dnu) <= cutoff_cm1).astype(dt)
-            wr = wr * m
-            wi = wi * m
-        else:
-            m = jnp.ones_like(wr)
-        xwr = x * wr
+        K, Kx, xKx, Ky = _basis(nu_grid, nc, s, yy, variant=variant,
+                                cutoff_cm1=cutoff_cm1, dt=dt)
         # Abar_k[o, c] = <ct, basis_k> along p (HIGHEST: see tangent note)
         Ab = lambda B: jnp.einsum("op,cp->oc", ct, B,
                                   precision=jax.lax.Precision.HIGHEST)
-        Ab1, Ab2, Ab3 = Ab(wr), Ab(wi), Ab(xwr)
-        Ab4, Ab5, Ab6 = Ab(x * wi), Ab(x * xwr), Ab(m)
+        AbK, AbKx, AbxKx, AbKy = Ab(K), Ab(Kx), Ab(xKx), Ab(Ky)
         so = lambda M: jnp.sum(M * am, axis=0)       # sum over out-rows
-        ct_amps = Ab1
-        ct_y = so(Ab1) * (2.0 * yy) + so(Ab4) * 2.0 - so(Ab6) * TWO_INV_SQRT_PI
-        ct_nc = so(Ab2) * (-2.0 * s * yy) + so(Ab3) * (2.0 * s)
-        ct_sx = (so(Ab4) * (2.0 * yy) - so(Ab5) * 2.0) / s
+        ct_amps = AbK
+        ct_nc = -s * so(AbKx)
+        ct_sx = so(AbxKx) / s
+        ct_y = so(AbKy)
         return None, (ct_nc, ct_sx, ct_y, ct_amps)
 
     _, (ct_nc, ct_sx, ct_y, ct_amps) = jax.lax.scan(body, None, stacked)
@@ -329,21 +335,30 @@ def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
 
 def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                        cutoff_cm1: Optional[float] = 25.0,
-                       engine: str = "jnp", interpret: bool = False):
+                       engine: str = "jnp", interpret: bool = False,
+                       mode: str = "fwd"):
     """Build accumulate(nu_grid, nu_c, scale_x, y, amps) -> [n_out, P] with
-    the ANALYTIC custom JVP above.  nu_grid is non-differentiated (static
-    instrument grid).  engine: 'jnp' (XLA, any backend/dtype) or 'pallas'
-    (TPU kernel primal via :func:`accumulate_pallas_jit`, float32, jit- and
-    vmap-composable; the analytic tangent stays on the jnp basis path).
+    ANALYTIC derivatives.  nu_grid is non-differentiated (static instrument
+    grid; its tangent/cotangent is ignored/zero).  engine: 'jnp' (XLA, any
+    backend/dtype) or 'pallas' (TPU kernel primal via
+    :func:`accumulate_pallas_jit`, float32, jit- and vmap-composable; the
+    analytic tangent/transpose stays on the jnp basis path).
 
-    FORWARD-mode only: jax.jacfwd / jax.jvp get the shared-basis analytic
-    tangent (one Voigt pass for the whole Jacobian).  Reverse-mode (grad /
-    jacrev) is NOT supported through this op in current JAX — neither
-    ``linear_call`` nor ``custom_transpose`` has a batching rule, and the
-    chunked tangent scan does not auto-transpose.  Code paths that need
-    reverse-mode pass ``analytic_jvp=False`` to use plain-AD accumulation
-    (:func:`accumulate_jnp`); the analytic transpose itself is implemented
-    and validated (:func:`_tangent_transpose`) for when JAX composes.
+    mode='fwd' (default): ``jax.custom_jvp`` — jax.jacfwd / jax.jvp get the
+    shared-basis analytic tangent (one Voigt pass for the whole Jacobian).
+    Reverse-mode through the 'fwd' op is unsupported (the chunked tangent
+    scan does not auto-transpose, and neither ``linear_call`` nor
+    ``custom_transpose`` has a batching rule in current JAX).
+
+    mode='rev': ``jax.custom_vjp`` — grad / jacrev / jax.vjp get the
+    ANALYTIC transpose (:func:`_tangent_transpose`): one Voigt basis pass +
+    six MXU contractions per cotangent, with NO stored linearisation of the
+    line sum (the backward recomputes wofz from the saved flat inputs —
+    O(L + n_out*P) residual memory instead of AD's O(chunk*P) per-scan-step
+    stash).  custom_vjp batches under vmap, so this composes with the
+    per-layer vmaps.  Forward-mode through the 'rev' op is unsupported
+    (JAX's custom_vjp forbids jvp); pick the mode matching the caller's AD
+    direction.
     """
     kw = dict(chunk=chunk, variant=variant, cutoff_cm1=cutoff_cm1)
     if engine == "pallas" and variant != "humlicek4":
@@ -351,6 +366,8 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
             "engine='pallas' evaluates humlicek4 only (the kernel's region "
             "dispatch); use engine='jnp' for variant="
             f"{variant!r} so primal and tangent share one evaluator")
+    if mode not in ("fwd", "rev"):
+        raise ValueError(f"mode must be 'fwd' or 'rev', got {mode!r}")
 
     def _primal(nu_grid, nu_c, sx, y, amps):
         kl = KernelLines(nu_c, sx, y, amps)
@@ -359,6 +376,24 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                                          interpret=interpret).astype(
                 jnp.result_type(nu_grid))
         return accumulate_jnp(nu_grid, kl, **kw)
+
+    if mode == "rev":
+        @jax.custom_vjp
+        def acc(nu_grid, nu_c, sx, y, amps):
+            return _primal(nu_grid, nu_c, sx, y, amps)
+
+        def acc_fwd(nu_grid, nu_c, sx, y, amps):
+            return (_primal(nu_grid, nu_c, sx, y, amps),
+                    (nu_grid, nu_c, sx, y, amps))
+
+        def acc_bwd(res, ct):
+            nu_grid, nu_c, sx, y, amps = res
+            ct_nc, ct_sx, ct_y, ct_amps = _tangent_transpose(
+                nu_grid, nu_c, sx, y, amps, ct, **kw)
+            return (jnp.zeros_like(nu_grid), ct_nc, ct_sx, ct_y, ct_amps)
+
+        acc.defvjp(acc_fwd, acc_bwd)
+        return acc
 
     @jax.custom_jvp
     def acc(nu_grid, nu_c, sx, y, amps):
@@ -374,6 +409,21 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
         return primal_out, tangent_out
 
     return acc
+
+
+def _ad_mode(analytic_jvp) -> Optional[str]:
+    """Normalise the public ``analytic_jvp`` switch: True/'fwd' -> analytic
+    custom JVP (forward-mode AD), 'rev' -> analytic custom VJP (reverse-mode
+    AD), False/None -> plain-AD accumulation (either direction, slower)."""
+    if analytic_jvp is True or analytic_jvp == "fwd":
+        return "fwd"
+    if analytic_jvp == "rev":
+        return "rev"
+    if analytic_jvp in (False, None):
+        return None
+    raise ValueError(
+        f"analytic_jvp must be True/'fwd', 'rev', or False; got "
+        f"{analytic_jvp!r}")
 
 
 def cross_sections(
@@ -395,8 +445,10 @@ def cross_sections(
     state — thin wrapper over the two-stage API (kept as the stable public
     interface; SURVEY.md C6).
 
-    analytic_jvp=True (default) routes through the shared-basis analytic
-    JVP op — forward-mode AD only; pass False for reverse-mode (grad).
+    analytic_jvp=True/'fwd' (default) routes through the shared-basis
+    analytic JVP op (forward-mode AD: jacfwd/jvp); 'rev' through the
+    analytic custom VJP (reverse-mode AD: grad/jacrev with the explicit
+    transpose); False uses plain-AD accumulation (either direction).
     ``nu_off``: grid in offset coordinates staged from float64 (see
     DeviceLines docstring); default derives it from ``nu_grid`` (exact only
     for float64 grids).
@@ -410,9 +462,10 @@ def cross_sections(
     # Offset coordinates for the dnu computation (see DeviceLines docstring).
     if nu_off is None:
         nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
-    if analytic_jvp:
+    mode = _ad_mode(analytic_jvp)
+    if mode is not None:
         op = make_accumulate_op(chunk=chunk, variant=variant,
-                                cutoff_cm1=cutoff_cm1)
+                                cutoff_cm1=cutoff_cm1, mode=mode)
         out = op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps)
     else:
         out = accumulate_jnp(nu_off, kl, chunk=chunk, variant=variant,

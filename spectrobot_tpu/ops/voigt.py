@@ -81,6 +81,47 @@ def wofz_weideman(x, y, n_terms: int = 32):
     return w
 
 
+def wofz_weideman_grad(x, y, n_terms: int = 32):
+    """w(z) plus f32-STABLE partials of K = Re w(x+iy), in one pass.
+
+    Returns (wr, wi, dK_dx, dK_dy), differentiating the Weideman rational
+    approximant IN CLOSED FORM (one extra real-coefficient Horner chain that
+    shares the Moebius transform with the primal).
+
+    Why not the exact identity w' = -2 z w + 2i/sqrt(pi)?  Measured: in
+    float32 the identity's real part -2(x wr - y wi) cancels catastrophically
+    in deep wings (at x ~ 1e4 the two products agree to ~8 digits, so the
+    f32 result is pure rounding noise; worse, basis-decomposed opacity
+    tangents defer the cancellation to AFTER the line reduction and corrupt
+    Jacobians of optically thick layers).  The derivative of the approximant
+    has no subtractive cancellation — every term carries the same
+    D = 1/(L - iz) decay — and stays relative-accurate (~1e-6 at N=32) over
+    the whole upper half plane (see tests/test_voigt.py).
+
+        w  = 2 p(Z) D^2 + (1/sqrt(pi)) D,   D = 1/(L - iz),  Z = (L + iz) D
+        dZ/dz = 2 i L D^2
+        w' = i g,   g = 4 L p'(Z) D^4 + 4 p(Z) D^3 + (1/sqrt(pi)) D^2
+        dK/dx = Re w' = -Im g,   dK/dy = Re(i w') = -Re g.
+    """
+    L, coeffs = weideman_coeffs(n_terms)
+    n = len(coeffs)
+    dcoeffs = tuple(c * (n - 1 - j) for j, c in enumerate(coeffs[:-1]))
+    dt = jnp.result_type(x, y)
+    Lc = jnp.asarray(L, dtype=dt)
+    D = cpx.cinv((Lc + y, -x))
+    Z = cpx.cmul((Lc - y, x), D)
+    p = cpx.cpolyval_real_coeffs(coeffs, Z)
+    dp = cpx.cpolyval_real_coeffs(dcoeffs, Z)
+    D2 = cpx.cmul(D, D)
+    D3 = cpx.cmul(D2, D)
+    D4 = cpx.cmul(D2, D2)
+    w = cpx.cadd(cpx.cscale(2.0, cpx.cmul(p, D2)), cpx.cscale(INV_SQRT_PI, D))
+    g = cpx.cadd(cpx.cadd(cpx.cscale(4.0 * L, cpx.cmul(dp, D4)),
+                          cpx.cscale(4.0, cpx.cmul(p, D3))),
+                 cpx.cscale(INV_SQRT_PI, D2))
+    return w[0], w[1], -g[1], -g[0]
+
+
 # ---------------------------------------------------------------------------
 # Humlicek w4 (branchless)
 # ---------------------------------------------------------------------------

@@ -65,7 +65,7 @@ def build_forward(
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
-    analytic_jvp: bool = True,
+    analytic_jvp=True,  # True/"fwd" | "rev" | False (ops.opacity._ad_mode)
     nu_off: Optional[jnp.ndarray] = None,
     engine: str = "jnp",
 ) -> Callable[[Dict], jnp.ndarray]:

@@ -90,6 +90,90 @@ def test_tangent_transpose_matches_ad_vjp():
                                    atol=np.abs(w).max() * 1e-10)
 
 
+def test_analytic_vjp_matches_ad_grad():
+    # mode='rev' (custom_vjp with the explicit analytic transpose) must give
+    # the same gradients as plain AD through the same primal.
+    nu, kl = _inputs()
+    kw = dict(chunk=64, variant="weideman", cutoff_cm1=25.0)
+    op = make_accumulate_op(mode="rev", **kw)
+    plain = lambda nc, sx, y, am: accumulate_jnp(
+        nu, KernelLines(nc, sx, y, am), **kw)
+    args = (kl.nu_c, kl.scale_x, kl.y, kl.amps)
+    rng = np.random.default_rng(2)
+    wgt = jnp.asarray(rng.standard_normal((2, nu.shape[0])))
+    loss_a = lambda *a: jnp.sum(wgt * op(nu, *a))
+    loss_p = lambda *a: jnp.sum(wgt * plain(*a))
+    ga = jax.grad(loss_a, argnums=(0, 1, 2, 3))(*args)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(*args)
+    # plain AD differentiates the approximant; the analytic transpose applies
+    # the exact identity — weideman in f64 keeps the mismatch ~1e-7.
+    for a, p in zip(ga, gp):
+        a, p = np.asarray(a), np.asarray(p)
+        np.testing.assert_allclose(a, p, rtol=2e-5, atol=np.abs(p).max() * 1e-7)
+
+
+def test_analytic_jacrev_matches_jacfwd_through_prologue():
+    # Through the strength/width prologue wrt T: jacrev over the 'rev' op
+    # must match jacfwd over the 'fwd' op (the real retrieval-adjoint use).
+    dl = device_lines_from_linelist(co2_15um_band(j_max=8), [(2, 1)],
+                                    dtype=jnp.float64, nu_ref=0.0)
+    nu = jnp.asarray(np.linspace(662.0, 672.0, 200))
+    op_f = make_accumulate_op(chunk=64, variant="weideman")
+    op_r = make_accumulate_op(chunk=64, variant="weideman", mode="rev")
+
+    def f(op):
+        def g(T):
+            kl = line_kernel_inputs(dl, T, 300.0, 50.0,
+                                    amp_weights=jnp.ones((2, dl.n_lines)))
+            return op(nu, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+        return g
+
+    T0 = jnp.asarray(230.0)
+    Jf = np.asarray(jax.jacfwd(f(op_f))(T0))
+    Jr = np.asarray(jax.jacrev(f(op_r))(T0))
+    np.testing.assert_allclose(Jr, Jf, rtol=1e-9,
+                               atol=np.abs(Jf).max() * 1e-12)
+
+
+def test_analytic_vjp_under_vmap():
+    # custom_vjp must batch (the per-layer vmap in forward.limb.layer_tau).
+    nu, kl = _inputs()
+    op = make_accumulate_op(chunk=64, mode="rev")
+
+    def loss(scale):
+        return jnp.sum(op(nu, kl.nu_c, kl.scale_x, kl.y, kl.amps * scale))
+
+    scales = jnp.asarray([0.5, 1.0, 2.0])
+    g = jax.vmap(jax.grad(loss))(scales)
+    base = float(loss(1.0))
+    np.testing.assert_allclose(np.asarray(g), base, rtol=1e-10)
+
+
+def test_analytic_vjp_through_limb_forward():
+    # End-to-end: grad of a chi-square-like scalar through the full limb
+    # radiance, analytic 'rev' vs plain AD.
+    from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+    from spectrobot_tpu.forward.geometry import limb_path_cg
+    from spectrobot_tpu.forward.limb import limb_radiance
+
+    atm = mars_standard_atmosphere(n_lev=16, z_top=80e3)
+    dl = device_lines_from_linelist(co2_15um_band(j_max=8), [(2, 1)],
+                                    dtype=jnp.float64, nu_ref=0.0)
+    nu = jnp.asarray(np.linspace(662.0, 672.0, 128))
+    ths = jnp.asarray([20e3, 40e3])
+
+    def loss(T, mode):
+        cg = limb_path_cg(atm.with_temperature(T), ["CO2"], ths, MARS, 2)
+        I = limb_radiance(nu, dl, cg, analytic_jvp=mode, variant="weideman")
+        return jnp.sum(I ** 2)
+
+    g_rev = jax.grad(lambda T: loss(T, "rev"))(atm.T)
+    g_ad = jax.grad(lambda T: loss(T, False))(atm.T)
+    g_rev, g_ad = np.asarray(g_rev), np.asarray(g_ad)
+    np.testing.assert_allclose(g_rev, g_ad, rtol=2e-5,
+                               atol=np.abs(g_ad).max() * 1e-7)
+
+
 def test_analytic_jvp_under_vmap():
     # layer batching (vmap) over the op with tangents — the layer_tau path.
     nu, kl = _inputs()

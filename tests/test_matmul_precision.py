@@ -62,6 +62,6 @@ def test_tangent_contractions_pin_highest():
         nu, kl.nu_c, kl.scale_x, kl.y, kl.amps, *zeros,
         chunk=128, variant="humlicek4", cutoff_cm1=25.0))()
     precs = _dot_precisions(jx)
-    assert len(precs) >= 6
+    assert len(precs) >= 4  # four stable-basis contractions (K, Kx, xKx, Ky)
     for p in precs:
         assert p == (jax.lax.Precision.HIGHEST,) * 2, p
