@@ -27,6 +27,19 @@ def planck_nu(nu_cm1, T):
     return C1B * nu_cm1 ** 3 / jnp.expm1(C2 * nu_cm1 / T)
 
 
+def brightness_temperature(nu_cm1, I):
+    """Inverse Planck: T_B such that B_nu(T_B) = I, nu in cm^-1.
+
+        T_B = c2 nu / ln(1 + c1 nu^3 / I)
+
+    Non-positive radiances map to 0 K (guarded log1p argument).
+    """
+    ratio = C1B * nu_cm1 ** 3 / jnp.maximum(I, jnp.asarray(1e-300, I.dtype)
+                                            if I.dtype == jnp.float64
+                                            else jnp.asarray(1e-38, I.dtype))
+    return jnp.where(I > 0.0, C2 * nu_cm1 / jnp.log1p(ratio), 0.0)
+
+
 def nlte_line_weights(nu0, T, r_lower, r_upper):
     """Per-line non-LTE weights (w_abs, w_em) given population ratios.
 
