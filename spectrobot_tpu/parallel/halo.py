@@ -51,12 +51,23 @@ class ShardedKernelLines(NamedTuple):
 def partition_kernel_lines(
     kl: KernelLines, nu0_host: np.ndarray, edges: np.ndarray,
     round_to: int = 128,
+    origins: Optional[np.ndarray] = None,
+    out_dtype=None,
 ) -> ShardedKernelLines:
     """Host-side: assign each line to the shard whose [edges[k], edges[k+1])
     interval contains its (unshifted) center; pad shards to a common Lmax.
 
     nu0_host must be sorted (C1 guarantees it), so shard membership is a
     pair of searchsorted cuts and slices stay contiguous.
+
+    ``origins`` (optional, [n_shards]): PER-SHARD wavenumber origins — each
+    shard's line centers are stored relative to ITS origin, computed here in
+    float64 BEFORE any ``out_dtype`` cast.  This keeps f32 dnu precision
+    independent of the GLOBAL band width (a 2000 cm^-1 grid quantises a
+    global-origin offset at ~1e-4 cm^-1 ≈ Doppler widths; a per-shard offset
+    stays within the chunk width, quantised at ~1e-6).  Pair with
+    :func:`rebase_grid_per_shard` for the grid and pass the same origins to
+    :func:`halo_accumulate_fn` so halo lines get origin-delta corrected.
     """
     n_shards = len(edges) - 1
     # Clamp: lines below the first / above the last edge (wings reaching in
@@ -69,26 +80,53 @@ def partition_kernel_lines(
     # Pallas BLOCK_L when used with halo_accumulate_pallas_fn).
     Lmax = ((Lmax + round_to - 1) // round_to) * round_to
 
-    def pack(a, fill):
+    def pack(a, fill, shift=None, dtype=None):
         a = np.asarray(a)
-        out = np.full((n_shards, Lmax), fill, dtype=a.dtype)
+        out = np.full((n_shards, Lmax), fill,
+                      dtype=a.dtype if dtype is None else dtype)
         for k in range(n_shards):
-            seg = a[cuts[k]:cuts[k + 1]]
+            seg = a[cuts[k]:cuts[k + 1]].astype(np.float64)
+            if shift is not None:
+                seg = seg - shift[k]
             out[k, :len(seg)] = seg
         return out
 
+    dt = out_dtype
     amps = np.asarray(kl.amps)
     n_out = amps.shape[0]
-    amps_out = np.zeros((n_shards, n_out, Lmax), dtype=amps.dtype)
+    amps_out = np.zeros((n_shards, n_out, Lmax),
+                        dtype=amps.dtype if dt is None else dt)
     for k in range(n_shards):
         seg = amps[:, cuts[k]:cuts[k + 1]]
         amps_out[k, :, :seg.shape[1]] = seg
     return ShardedKernelLines(
-        nu_c=jnp.asarray(pack(kl.nu_c, 1e9)),
-        scale_x=jnp.asarray(pack(kl.scale_x, 1e6)),
-        y=jnp.asarray(pack(kl.y, 1e6)),
+        nu_c=jnp.asarray(pack(kl.nu_c, 1e9, shift=origins, dtype=dt)),
+        scale_x=jnp.asarray(pack(kl.scale_x, 1e6, dtype=dt)),
+        y=jnp.asarray(pack(kl.y, 1e6, dtype=dt)),
         amps=jnp.asarray(amps_out),
     )
+
+
+def nu_shard_origins(edges: np.ndarray) -> np.ndarray:
+    """Per-shard f32 wavenumber origins: the midpoint of each shard's
+    interval, rounded to 0.25 cm^-1 (exactly representable) so origin deltas
+    between neighbours are exact in f32."""
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    return np.round(mid * 4.0) / 4.0
+
+
+def rebase_grid_per_shard(nu_host: np.ndarray, origins: np.ndarray,
+                          dtype=np.float32) -> jnp.ndarray:
+    """Stage the fine grid with PER-SHARD origins: chunk k holds
+    (nu - origins[k]), subtracted in float64 then cast.  The result is only
+    meaningful together with line centers from ``partition_kernel_lines(...,
+    origins=...)`` — coordinates are shard-local."""
+    n_shards = len(origins)
+    P_ = len(nu_host)
+    assert P_ % n_shards == 0
+    chunks = np.asarray(nu_host, np.float64).reshape(n_shards, -1)
+    return jnp.asarray((chunks - np.asarray(origins)[:, None]
+                        ).reshape(P_).astype(dtype))
 
 
 def halo_accumulate_fn(
@@ -97,15 +135,32 @@ def halo_accumulate_fn(
     chunk: int = 256,
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
+    origins: Optional[np.ndarray] = None,
 ):
     """Build f(nu_grid, skl) -> [n_out, P] over the mesh's ``nu`` axis with
     neighbour halo exchange.  nu_grid sharded P('nu'); skl arrays sharded on
-    their leading shard axis (one line partition per nu shard)."""
+    their leading shard axis (one line partition per nu shard).
+
+    With ``origins`` (per-shard f32 grid origins, SURVEY.md round-1 deferred
+    item): nu_grid and skl.nu_c are in SHARD-LOCAL coordinates
+    (rebase_grid_per_shard / partition_kernel_lines(origins=...)); halo line
+    centers received over ppermute are shifted by the known origin DELTA of
+    the sending shard so dnu stays exact — the delta is a per-neighbour
+    scalar, exact in f32 by construction (origins rounded to 0.25 cm^-1).
+    """
     n_shards = mesh.shape["nu"]
     right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    if origins is None:
+        d_from_left = d_from_right = np.zeros((n_shards,))
+    else:
+        o = np.asarray(origins, np.float64)
+        # shard k's grid is relative to o[k]; a line arriving FROM shard s
+        # (relative to o[s]) needs + (o[s] - o[k]).
+        d_from_left = o[np.arange(-1, n_shards - 1)] - o
+        d_from_right = o[(np.arange(n_shards) + 1) % n_shards] - o
 
-    def body(nu_loc, nu_c, sx, y, amps):
+    def body(nu_loc, nu_c, sx, y, amps, dl, dr):
         # Leading shard axis is size 1 locally.
         mine = KernelLines(nu_c[0], sx[0], y[0], amps[0])
 
@@ -120,24 +175,29 @@ def halo_accumulate_fn(
             # overlaps the permutes with the local accumulation above.
             # With exactly two shards, left and right neighbours coincide —
             # exchange once or the halo double-counts.
-            perms = (right,) if n_shards == 2 else (right, left)
-            for perm in perms:
+            hops = ((right, dl),) if n_shards == 2 else ((right, dl),
+                                                         (left, dr))
+            for perm, delta in hops:
                 got = tuple(
                     lax.ppermute(a, "nu", perm)
                     for a in (nu_c[0], sx[0], y[0], amps[0]))
-                out = out + acc(KernelLines(*got))
+                nc = got[0] + delta[0].astype(got[0].dtype)
+                out = out + acc(KernelLines(nc, *got[1:]))
         return out
 
     specs_lines = ShardedKernelLines(P("nu"), P("nu"), P("nu"), P("nu"))
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("nu"), specs_lines.nu_c, specs_lines.scale_x,
-                  specs_lines.y, specs_lines.amps),
+                  specs_lines.y, specs_lines.amps, P("nu"), P("nu")),
         out_specs=P(None, "nu"), check_vma=False)
     jitted = jax.jit(fn)
+    dl_j = jnp.asarray(d_from_left)
+    dr_j = jnp.asarray(d_from_right)
 
     def apply(nu_grid, skl: ShardedKernelLines):
-        return jitted(nu_grid, skl.nu_c, skl.scale_x, skl.y, skl.amps)
+        return jitted(nu_grid, skl.nu_c, skl.scale_x, skl.y, skl.amps,
+                      dl_j.astype(nu_grid.dtype), dr_j.astype(nu_grid.dtype))
 
     return apply
 
