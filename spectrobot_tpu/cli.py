@@ -72,8 +72,39 @@ def _build_atmosphere(cfg):
     return planet, atm
 
 
+def _build_nlte(cfg, ll, atm, dtype):
+    """Non-LTE state from config (reference call stack 4.4): registry from
+    the line list's quanta, t_vib per the ``[nlte]`` section, matched level
+    indices annotated IN PLACE on ``ll`` (before device staging)."""
+    import numpy as np
+
+    from spectrobot_tpu.data.nlte import (
+        demo_pump_t_vib, device_nlte, lte_t_vib, match_lines_to_levels,
+        registry_from_linelist, t_vib_from_npz,
+    )
+
+    reg = registry_from_linelist(ll)
+    if reg.n_levels == 0:
+        raise ValueError("[nlte] enabled but the line list carries no "
+                         "global quanta to match levels from")
+    match_lines_to_levels(ll, reg)
+    z_lev = np.asarray(atm.z)
+    z_mid = 0.5 * (z_lev[1:] + z_lev[:-1])
+    T_lay = np.interp(z_mid, z_lev, np.asarray(atm.T))
+    src = cfg.nlte.t_vib
+    if not src:
+        t_vib = lte_t_vib(reg, T_lay)
+    elif src.startswith("demo:"):
+        if src != "demo:co2_pump":
+            raise KeyError(f"unknown nlte demo {src!r} (have demo:co2_pump)")
+        t_vib = demo_pump_t_vib(reg, z_mid, T_lay)
+    else:
+        t_vib = t_vib_from_npz(reg, src, z_mid, T_lay)
+    return device_nlte(reg, t_vib, dtype=dtype), reg
+
+
 def build_scene(cfg):
-    """Config -> (planet, atm, device_lines, nu_grid, ils_W or None)."""
+    """Config -> (planet, atm, device_lines, nu_grid, ils_W or None, nlte)."""
     import jax.numpy as jnp
     from spectrobot_tpu.data.molparams import molecule_by_name
     from spectrobot_tpu.ops.ils import ils_matrix
@@ -82,6 +113,9 @@ def build_scene(cfg):
     dtype = jnp.float64 if cfg.compute.dtype == "float64" else jnp.float32
     planet, atm = _build_atmosphere(cfg)
     ll = _build_lines(cfg)
+    nlte = None
+    if cfg.nlte.enabled:
+        nlte, _ = _build_nlte(cfg, ll, atm, dtype)
     # One species row per (mol, iso) pair ACTUALLY PRESENT in the line list
     # (expanding every registered isotopologue would multiply CG and
     # per-line work for empty rows).
@@ -112,7 +146,7 @@ def build_scene(cfg):
         W = jnp.asarray(ils_matrix(np.asarray(nu), chans,
                                    cfg.instrument.fwhm_cm1,
                                    cfg.instrument.shape), dtype)
-    return planet, atm, dl, species_names, nu, nu_off, W, chans
+    return planet, atm, dl, species_names, nu, nu_off, W, chans, nlte
 
 
 def cmd_forward(cfg) -> dict:
@@ -122,7 +156,7 @@ def cmd_forward(cfg) -> dict:
     from spectrobot_tpu.forward.limb import limb_radiance, nadir_radiance
     from spectrobot_tpu.ops.ils import apply_ils
 
-    planet, atm, dl, species_names, nu, nu_off, W, _chans = build_scene(cfg)
+    planet, atm, dl, species_names, nu, nu_off, W, _chans, nlte = build_scene(cfg)
     kw = dict(variant=cfg.compute.variant, cutoff_cm1=cfg.compute.cutoff_cm1,
               chunk=cfg.compute.chunk, nu_off=nu_off)
     use_pallas = (cfg.compute.use_pallas
@@ -155,48 +189,62 @@ def cmd_forward(cfg) -> dict:
         mesh = make_mesh(mesh_shape)
         dlp = pad_lines_for_mesh(dl, m_line)
         cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
-        f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
+        f = sharded_radiance_fn(mesh, has_nlte=nlte is not None,
+                                has_background=False,
                                 variant=cfg.compute.variant,
                                 cutoff_cm1=cfg.compute.cutoff_cm1,
                                 chunk=cfg.compute.chunk)
-        nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
-        I = f(nu_s, lines_s, cg_s, nu_off=nu_off)
+        nu_s, lines_s, cg_s, nlte_s, _ = stage_sharded(mesh, nu, dlp, cg,
+                                                       nlte=nlte)
+        I = f(nu_s, lines_s, cg_s, nlte_s, nu_off=nu_off)
         print(f"mesh forward over {dict(zip(('ray','line','nu'), mesh_shape))}",
               file=sys.stderr)
     elif cfg.geometry.mode == "limb" and cfg.compute.use_lut:
         # C9 LUT runtime (reference call stack 4.3): build once, interpolate
-        # per (ray, layer) instead of re-summing lines.  LTE only.
+        # per (ray, layer) instead of re-summing lines.  Non-LTE scenes use
+        # the per-level-group tier (ops/lut.py NLTELUT).
         from spectrobot_tpu.forward.limb import optics_from_tau, path_radiance
-        from spectrobot_tpu.ops.lut import build_lut, layer_tau_lut
+        from spectrobot_tpu.ops.lut import (
+            build_lut, build_nlte_lut, layer_tau_lut, layer_tau_nlte_lut,
+        )
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)
         cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
         vs = [float(atm.vmr[n_][0]) for n_ in species_names]
         T_arr = np.asarray(atm.T)
         p_arr = np.asarray(atm.p)
-        lut = build_lut(
-            nu, dl, n_species=len(species_names),
+        lattice = dict(
             T_min=max(80.0, float(T_arr.min()) - 30.0),
             T_max=float(T_arr.max()) + 30.0, n_T=cfg.compute.lut_n_T,
             p_min=max(float(p_arr.min()) * 0.5, 1e-6),
             p_max=float(p_arr.max()) * 2.0, n_p=cfg.compute.lut_n_p,
             vmr_self=vs, variant=cfg.compute.variant,
             cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk)
-        dtau = layer_tau_lut(lut, cg)
-        I = jax.jit(lambda d: path_radiance(
-            optics_from_tau(nu, cg, d, d), cg, None))(dtau)
-        print("LUT runtime forward (LTE)", file=sys.stderr)
+        if nlte is not None:
+            lut = build_nlte_lut(nu, dl, n_species=len(species_names),
+                                 **lattice)
+            dtau, dtau_em = layer_tau_nlte_lut(lut, cg, nlte)
+            I = jax.jit(lambda d, de: path_radiance(
+                optics_from_tau(nu, cg, d, de), cg, None))(dtau, dtau_em)
+            print("LUT runtime forward (non-LTE per-level tables)",
+                  file=sys.stderr)
+        else:
+            lut = build_lut(nu, dl, n_species=len(species_names), **lattice)
+            dtau = layer_tau_lut(lut, cg)
+            I = jax.jit(lambda d: path_radiance(
+                optics_from_tau(nu, cg, d, d), cg, None))(dtau)
+            print("LUT runtime forward (LTE)", file=sys.stderr)
     elif cfg.geometry.mode == "limb":
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)
         cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
         if use_pallas:
             from spectrobot_tpu.forward.limb import limb_radiance_pallas
-            I = limb_radiance_pallas(nu, dl, cg,
+            I = limb_radiance_pallas(nu, dl, cg, nlte,
                                      cutoff_cm1=cfg.compute.cutoff_cm1,
                                      nu_off=nu_off)
         else:
-            I = jax.jit(lambda: limb_radiance(nu, dl, cg, **kw))()
+            I = jax.jit(lambda: limb_radiance(nu, dl, cg, nlte, **kw))()
     else:
         sec = jnp.asarray(cfg.geometry.sec_theta, nu.dtype)
         cg = nadir_path_cg(atm, species_names, sec, cfg.geometry.n_sub)
@@ -206,13 +254,13 @@ def cmd_forward(cfg) -> dict:
             I_bg = jnp.broadcast_to(
                 planck_nu(nu, cfg.geometry.t_surface).astype(jnp.float32),
                 (len(cfg.geometry.sec_theta), nu.shape[0]))
-            I = limb_radiance_pallas(nu, dl, cg, I_background=I_bg,
+            I = limb_radiance_pallas(nu, dl, cg, nlte, I_background=I_bg,
                                      cutoff_cm1=cfg.compute.cutoff_cm1,
                                      nu_off=nu_off)
         else:
             I = jax.jit(lambda: nadir_radiance(nu, dl, cg,
                                                cfg.geometry.t_surface,
-                                               **kw))()
+                                               nlte=nlte, **kw))()
     if W is not None:
         I = apply_ils(I, W)
     I = np.asarray(jax.block_until_ready(I))
@@ -238,7 +286,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     from spectrobot_tpu.utils.checkpoint import Checkpointer
     from spectrobot_tpu.utils.runlog import RunLogger
 
-    planet, atm, dl, species_names, nu, nu_off, W, chans = build_scene(cfg)
+    planet, atm, dl, species_names, nu, nu_off, W, chans, nlte = build_scene(cfg)
     h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                       nu.dtype) if cfg.geometry.mode == "limb" else None
     sec = (None if cfg.geometry.mode == "limb"
@@ -251,7 +299,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     fwd = build_forward(
         atm, dl, nu, species_names, planet, tangent_heights_m=h_t,
         sec_theta=sec, T_surface=cfg.geometry.t_surface, ils_W=W,
-        n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
+        nlte=nlte, n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
         cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
         nu_off=nu_off, engine=engine)
 

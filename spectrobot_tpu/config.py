@@ -40,6 +40,21 @@ class LinesConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class NLTEConfig:
+    """Non-LTE vibrational populations (reference call stack 4.4).
+
+    ``t_vib`` selects the source of vibrational-temperature profiles:
+    "" (all matched levels at the kinetic temperature — LTE populations,
+    useful to exercise the non-LTE code path), "demo:co2_pump" (built-in
+    daytime nu3 pumping ramp, data/nlte.py), or a path to a .npz written by
+    ``data.nlte.save_t_vib_npz`` (z, "mol:iso:quanta" keys, t_vib rows).
+    """
+
+    enabled: bool = False
+    t_vib: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
 class GeometryConfig:
     mode: str = "limb"                  # "limb" | "nadir"
     tangent_heights_km: Tuple[float, ...] = (10.0, 20.0, 30.0, 40.0)
@@ -99,6 +114,7 @@ class Config:
     grid: GridConfig = GridConfig()
     scene: SceneConfig = SceneConfig()
     lines: LinesConfig = LinesConfig()
+    nlte: NLTEConfig = NLTEConfig()
     geometry: GeometryConfig = GeometryConfig()
     instrument: InstrumentConfig = InstrumentConfig()
     compute: ComputeConfig = ComputeConfig()

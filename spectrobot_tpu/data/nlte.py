@@ -121,6 +121,65 @@ def lte_t_vib(registry: LevelRegistry, T_lay: np.ndarray) -> np.ndarray:
                            (registry.n_levels, len(T_lay))).copy()
 
 
+def save_t_vib_npz(path: str, z_m: np.ndarray, keys: List[str],
+                   t_vib: np.ndarray) -> None:
+    """Persist vibrational-temperature profiles (the reference reads
+    campaign vib-temp files [SURVEY.md 4.4]; ours are one .npz):
+
+    z_m [NZ] altitudes; keys [n] strings ``"mol:iso:quanta"``;
+    t_vib [n, NZ] temperatures [K].
+    """
+    assert t_vib.shape == (len(keys), len(z_m))
+    np.savez_compressed(path, z=np.asarray(z_m, np.float64),
+                        keys=np.asarray(keys, dtype="U"),
+                        t_vib=np.asarray(t_vib, np.float64))
+
+
+def t_vib_from_npz(registry: LevelRegistry, path: str, z_mid_m: np.ndarray,
+                   T_lay: np.ndarray) -> np.ndarray:
+    """Load vib-temp profiles and interpolate onto layer midpoints.
+
+    Levels present in the file (matched by ``"mol:iso:quanta"``) get the
+    interpolated profile; every other registry level defaults to the kinetic
+    temperature (= LTE population).
+    """
+    with np.load(path) as zf:
+        z_file = np.asarray(zf["z"], np.float64)
+        keys = [str(k) for k in zf["keys"]]
+        tv_file = np.asarray(zf["t_vib"], np.float64)
+    index = {k: i for i, k in enumerate(keys)}
+    t = lte_t_vib(registry, T_lay)
+    matched = 0
+    for i, (m, iso, q) in enumerate(registry.keys):
+        row = index.get(f"{m}:{iso}:{q}")
+        if row is not None:
+            t[i] = np.interp(np.asarray(z_mid_m), z_file, tv_file[row])
+            matched += 1
+    if matched == 0:
+        raise ValueError(
+            f"{path}: no key matches any registry level "
+            f"(file keys {keys[:4]}..., registry {registry.keys[:4]}...)")
+    return t
+
+
+def demo_pump_t_vib(registry: LevelRegistry, z_mid_m: np.ndarray,
+                    T_lay: np.ndarray, boost: float = 0.35,
+                    z_onset_m: float = 50e3, z_scale_m: float = 40e3,
+                    ) -> np.ndarray:
+    """Built-in daytime-pumping demo: levels with an excited asymmetric-
+    stretch quantum (nonzero LAST digit of the global quanta — CO2's nu3,
+    the 4.3 um solar-pumped ladder) ramp above ``z_onset_m`` to
+    ``(1 + boost) * T_kin``.  Mirrors the config-3 acceptance scene."""
+    z = np.asarray(z_mid_m)
+    t = lte_t_vib(registry, T_lay)
+    ramp = 1.0 + boost * np.clip((z - z_onset_m) / z_scale_m, 0.0, 1.0)
+    for i, (m, iso, q) in enumerate(registry.keys):
+        qs = q.strip()
+        if qs and qs[-1].isdigit() and qs[-1] != "0":
+            t[i] = np.asarray(T_lay) * ramp
+    return t
+
+
 def weights_for_layer(
     nlte: Optional[DeviceNLTE],
     lines: DeviceLines,

@@ -224,3 +224,102 @@ chunk = 128
     # LUT interpolation error budget (~<2%) on top of identical physics.
     denom = np.maximum(I_dir, I_dir.max() * 1e-3)
     assert np.max(np.abs(I_lut - I_dir) / denom) < 0.05
+
+
+_NLTE_BASE = """
+[grid]
+nu_min = 2320.0
+nu_max = 2360.0
+n_points = 300
+[lines]
+source = "synthetic:co2_43um,co2_43um_hot"
+[scene]
+n_levels = 10
+z_top_m = 90e3
+[geometry]
+tangent_heights_km = [40.0, 65.0]
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 128
+"""
+
+
+def test_cli_forward_nlte(tmp_path, capsys):
+    """Non-LTE through the driver (reference call stack 4.4): the demo
+    pumping brightens the 4.3 um limb vs the LTE run."""
+    from spectrobot_tpu.cli import main
+    cfg_lte = tmp_path / "lte.toml"
+    cfg_lte.write_text(_NLTE_BASE + f"[run]\noutput_dir = \"{tmp_path}/lte\"\n")
+    cfg_nl = tmp_path / "nlte.toml"
+    cfg_nl.write_text(_NLTE_BASE + f"""
+[nlte]
+enabled = true
+t_vib = "demo:co2_pump"
+[run]
+output_dir = "{tmp_path}/nlte"
+""")
+    assert main(["forward", str(cfg_lte)]) == 0
+    assert main(["forward", str(cfg_nl)]) == 0
+    capsys.readouterr()
+    with np.load(os.path.join(str(tmp_path), "lte", "forward.npz")) as z:
+        I_lte = z["radiance"]
+    with np.load(os.path.join(str(tmp_path), "nlte", "forward.npz")) as z:
+        I_nl = z["radiance"]
+    assert np.isfinite(I_nl).all()
+    # Pumped nu3 populations must brighten the high tangent ray materially.
+    assert I_nl[1].max() > 1.05 * I_lte[1].max()
+
+
+def test_cli_forward_nlte_tvib_file_and_lut(tmp_path, capsys):
+    """t_vib from a .npz profile file, through BOTH the direct path and the
+    non-LTE LUT runtime — the two agree to interpolation error."""
+    import numpy as np
+    from spectrobot_tpu.cli import main
+    from spectrobot_tpu.data.nlte import save_t_vib_npz
+
+    z = np.linspace(0.0, 90e3, 10)
+    t_kin = np.linspace(210.0, 150.0, 10)
+    tv = t_kin[None, :] * np.array([[1.0], [1.3]])
+    tv_path = str(tmp_path / "tvib.npz")
+    save_t_vib_npz(tv_path, z, ["2:1:0001", "2:1:0111"], tv)
+
+    block = _NLTE_BASE + f"""
+[nlte]
+enabled = true
+t_vib = "{tv_path}"
+"""
+    cfg_d = tmp_path / "direct.toml"
+    cfg_d.write_text(block + f"[run]\noutput_dir = \"{tmp_path}/d\"\n")
+    cfg_l = tmp_path / "lut.toml"
+    cfg_l.write_text(block + f"""
+[run]
+output_dir = "{tmp_path}/l"
+""")
+    assert main(["forward", str(cfg_d)]) == 0
+    assert main(["forward", str(cfg_l), "-o", "compute.use_lut=true"]) == 0
+    capsys.readouterr()
+    with np.load(os.path.join(str(tmp_path), "d", "forward.npz")) as zz:
+        I_d = zz["radiance"]
+    with np.load(os.path.join(str(tmp_path), "l", "forward.npz")) as zz:
+        I_l = zz["radiance"]
+    denom = np.maximum(I_d, I_d.max() * 1e-3)
+    assert np.max(np.abs(I_l - I_d) / denom) < 0.05
+
+
+def test_cli_retrieve_nlte(tmp_path, capsys):
+    """Self-test retrieval THROUGH a non-LTE forward model converges."""
+    from spectrobot_tpu.cli import main
+    cfg = tmp_path / "r.toml"
+    cfg.write_text(_NLTE_BASE + f"""
+[nlte]
+enabled = true
+t_vib = "demo:co2_pump"
+[retrieval]
+max_iter = 8
+[run]
+output_dir = "{tmp_path}/ret"
+""")
+    assert main(["retrieve", str(cfg)]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["converged"]
