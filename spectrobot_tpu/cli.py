@@ -50,25 +50,29 @@ def _build_lines(cfg):
 
 def _build_atmosphere(cfg):
     from spectrobot_tpu.data.atmosphere import (
-        PLANETS, Atmosphere, mars_standard_atmosphere,
-        titan_standard_atmosphere,
+        PLANETS, Atmosphere, Atmosphere2D, mars_standard_atmosphere,
+        mars_zonal_atmosphere, titan_standard_atmosphere,
     )
-    import jax.numpy as jnp
 
     planet = PLANETS[cfg.scene.planet.lower()]
-    if cfg.scene.atmosphere == "mars_standard":
+    src = cfg.scene.atmosphere
+    if src == "mars_standard":
         atm = mars_standard_atmosphere(n_lev=cfg.scene.n_levels,
                                        z_top=cfg.scene.z_top_m)
-    elif cfg.scene.atmosphere == "titan_standard":
+    elif src == "titan_standard":
         atm = titan_standard_atmosphere(n_lev=cfg.scene.n_levels,
                                         z_top=cfg.scene.z_top_m)
+    elif src == "mars_zonal":
+        atm = mars_zonal_atmosphere(n_lev=cfg.scene.n_levels,
+                                    z_top=cfg.scene.z_top_m)
     else:
-        with np.load(cfg.scene.atmosphere) as z:
-            vmr = {k[4:]: jnp.asarray(z[k]) for k in z.files
-                   if k.startswith("vmr_")}
-            atm = Atmosphere(z=jnp.asarray(z["z"]), p=jnp.asarray(z["p"]),
-                             T=jnp.asarray(z["T"]), n=jnp.asarray(z["n"]),
-                             vmr=vmr)
+        with np.load(src) as z:
+            is_2d = "lat_deg" in z.files
+        atm = (Atmosphere2D if is_2d else Atmosphere).load_npz(src)
+    if isinstance(atm, Atmosphere2D):
+        # Slice the 2-D climatology at the observation latitude (reference
+        # profile-class lat/alt interpolation, SURVEY.md 1.2).
+        atm = atm.at_lat(cfg.scene.latitude_deg)
     return planet, atm
 
 

@@ -24,7 +24,10 @@ class GridConfig:
 @dataclasses.dataclass(frozen=True)
 class SceneConfig:
     planet: str = "mars"
-    atmosphere: str = "mars_standard"   # "mars_standard" | path to .npz
+    # "mars_standard" | "titan_standard" | "mars_zonal" (2-D climatology) |
+    # path to a 1-D or 2-D (lat x alt, "lat_deg" key) Atmosphere .npz.
+    atmosphere: str = "mars_standard"
+    latitude_deg: float = 0.0           # observation latitude (2-D sources)
     n_levels: int = 33
     z_top_m: float = 80e3
     species: Tuple[str, ...] = ("CO2",)

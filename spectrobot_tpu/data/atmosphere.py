@@ -110,6 +110,84 @@ class Atmosphere:
                      if k.startswith("vmr_")})
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Atmosphere2D:
+    """Latitude x altitude atmosphere (level quantities).
+
+    The reference's profile class carries lat/alt grids and interpolates to
+    the observation latitude (``spect_base_module`` [SURVEY.md 1.2]).
+    TPU-native design: dense [NLAT, NZ] arrays on a shared altitude grid;
+    :meth:`at_lat` is a differentiable linear interpolation in latitude
+    (log-space for p and n) returning a standard 1-D :class:`Atmosphere`,
+    so one 2-D climatology serves a whole limb-scan campaign and latitude
+    can even be a traced quantity inside jit.
+    """
+
+    lat_deg: jnp.ndarray            # [NLAT] ascending
+    z: jnp.ndarray                  # [NZ]
+    p: jnp.ndarray                  # [NLAT, NZ]
+    T: jnp.ndarray                  # [NLAT, NZ]
+    n: jnp.ndarray                  # [NLAT, NZ]
+    vmr: Dict[str, jnp.ndarray]     # name -> [NLAT, NZ]
+
+    @property
+    def n_lat(self) -> int:
+        return int(self.lat_deg.shape[0])
+
+    def at_lat(self, lat_q) -> Atmosphere:
+        """1-D atmosphere at latitude ``lat_q`` [deg] (clamped to the grid).
+        Linear in T/VMR, log-linear in p/n; differentiable in lat_q."""
+        nlat = self.lat_deg.shape[0]
+        idx = jnp.clip(jnp.searchsorted(self.lat_deg, lat_q) - 1, 0, nlat - 2)
+        lo = self.lat_deg[idx]
+        hi = self.lat_deg[idx + 1]
+        w = jnp.clip((lat_q - lo) / (hi - lo), 0.0, 1.0)
+
+        def mix(a):
+            return (1.0 - w) * a[idx] + w * a[idx + 1]
+
+        def mix_log(a):
+            return jnp.exp((1.0 - w) * jnp.log(a[idx]) + w * jnp.log(a[idx + 1]))
+
+        return Atmosphere(z=self.z, p=mix_log(self.p), T=mix(self.T),
+                          n=mix_log(self.n),
+                          vmr={k: mix(v) for k, v in self.vmr.items()})
+
+    @staticmethod
+    def from_profiles(lats_deg, atms) -> "Atmosphere2D":
+        """Stack 1-D atmospheres (shared z grid) into a 2-D climatology."""
+        z0 = np.asarray(atms[0].z)
+        for a in atms[1:]:
+            assert np.array_equal(np.asarray(a.z), z0), "z grids must match"
+        names = sorted(atms[0].vmr)
+        return Atmosphere2D(
+            lat_deg=jnp.asarray(np.asarray(lats_deg, np.float64)),
+            z=atms[0].z,
+            p=jnp.stack([a.p for a in atms]),
+            T=jnp.stack([a.T for a in atms]),
+            n=jnp.stack([a.n for a in atms]),
+            vmr={k: jnp.stack([a.vmr[k] for a in atms]) for k in names})
+
+    def save_npz(self, path: str) -> None:
+        arrays = {"lat_deg": np.asarray(self.lat_deg), "z": np.asarray(self.z),
+                  "p": np.asarray(self.p), "T": np.asarray(self.T),
+                  "n": np.asarray(self.n)}
+        for k, v in self.vmr.items():
+            arrays[f"vmr_{k}"] = np.asarray(v)
+        np.savez_compressed(path, **arrays)
+
+    @staticmethod
+    def load_npz(path: str) -> "Atmosphere2D":
+        with np.load(path) as z:
+            return Atmosphere2D(
+                lat_deg=jnp.asarray(z["lat_deg"]), z=jnp.asarray(z["z"]),
+                p=jnp.asarray(z["p"]), T=jnp.asarray(z["T"]),
+                n=jnp.asarray(z["n"]),
+                vmr={k[4:]: jnp.asarray(z[k]) for k in z.files
+                     if k.startswith("vmr_")})
+
+
 def hydrostatic_atmosphere(
     planet: Planet,
     z: np.ndarray,
@@ -180,3 +258,31 @@ def mars_standard_atmosphere(n_lev: int = 51, z_top: float = 100e3) -> Atmospher
         "N2": np.full(n_lev, 0.027),
     }
     return hydrostatic_atmosphere(MARS, z, T_of_z, p_surface=610.0, vmr=vmr)
+
+
+def mars_zonal_atmosphere(n_lat: int = 7, n_lev: int = 51,
+                          z_top: float = 100e3) -> Atmosphere2D:
+    """A smooth zonal-mean Mars climatology: equator-to-pole cooling (~30 K
+    at the surface), drier and lower-pressure high latitudes — a physically
+    shaped 2-D fixture for latitude-resolved limb campaigns."""
+    lats = np.linspace(-90.0, 90.0, n_lat)
+    z = np.linspace(0.0, z_top, n_lev)
+    atms = []
+    for lat in lats:
+        cosl = np.cos(np.radians(lat))
+        dT = 30.0 * (cosl - 1.0)            # 0 at equator, -30 K at poles
+
+        def T_of_z(zz, dT=dT):
+            return (145.0 + dT * np.exp(-zz / 25e3)
+                    + 65.0 * np.exp(-zz / 35e3)
+                    + 8.0 * np.exp(-((zz - 70e3) / 12e3) ** 2))
+
+        vmr = {
+            "CO2": np.full(n_lev, 0.9532),
+            "CO": np.full(n_lev, 7.0e-4),
+            "H2O": (0.3 + 0.7 * cosl) * 2.0e-4 * np.exp(-z / 20e3),
+            "N2": np.full(n_lev, 0.027),
+        }
+        atms.append(hydrostatic_atmosphere(
+            MARS, z, T_of_z, p_surface=610.0 * (0.85 + 0.15 * cosl), vmr=vmr))
+    return Atmosphere2D.from_profiles(lats, atms)
