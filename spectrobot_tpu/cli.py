@@ -308,17 +308,23 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
         nu_off=nu_off, engine=engine)
 
     retrieve_vmr = list(cfg.retrieval.retrieve_vmr)
-    state0 = make_state(atm, retrieve_vmr)
-    if not cfg.retrieval.retrieve_temperature:
-        raise NotImplementedError("temperature retrieval is always on today")
+    ret_T = cfg.retrieval.retrieve_temperature
+    if not ret_T and not retrieve_vmr:
+        raise ValueError("nothing to retrieve: enable "
+                         "retrieval.retrieve_temperature or list species in "
+                         "retrieval.retrieve_vmr")
+    state0 = make_state(atm, retrieve_vmr, retrieve_temperature=ret_T)
     x0, unravel = flatten_state(state0)
     fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
     jac = jax.jit(lambda x: jax.jacfwd(fwd_flat)(x))
 
     n_lev = atm.n_lev
-    sa = np.concatenate([np.full(n_lev, cfg.retrieval.sigma_T ** 2)]
-                        + [np.full(n_lev, cfg.retrieval.sigma_lnvmr ** 2)
-                           for _ in retrieve_vmr])
+    # Prior blocks in ravel_pytree's flat order: "T" (sorted before
+    # "ln_vmr"), then the VMR profiles by SORTED species name.
+    blocks = ([np.full(n_lev, cfg.retrieval.sigma_T ** 2)] if ret_T else [])
+    blocks += [np.full(n_lev, cfg.retrieval.sigma_lnvmr ** 2)
+               for _ in sorted(retrieve_vmr)]
+    sa = np.concatenate(blocks)
     S_a = np.diag(sa)
 
     from spectrobot_tpu.retrieval.obs import Observation
@@ -334,11 +340,20 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     elif cfg.retrieval.obs_path:
         obs = Observation.load_npz(cfg.retrieval.obs_path)
     else:
-        # Self-test mode: synthesise observations from a perturbed truth.
-        atm_true = atm.with_temperature(
-            atm.T + jnp.asarray(5.0 * np.sin(np.linspace(0, 3, n_lev)),
-                                atm.T.dtype))
-        x_true, _ = flatten_state(make_state(atm_true, retrieve_vmr))
+        # Self-test mode: synthesise observations from a truth that perturbs
+        # every retrieved quantity.
+        atm_true = atm
+        if ret_T:
+            atm_true = atm_true.with_temperature(
+                atm.T + jnp.asarray(5.0 * np.sin(np.linspace(0, 3, n_lev)),
+                                    atm.T.dtype))
+        for s in retrieve_vmr:
+            atm_true = atm_true.with_vmr(
+                s, atm.vmr[s] * jnp.asarray(
+                    np.exp(0.3 * np.sin(np.linspace(0.5, 2.5, n_lev))),
+                    atm.T.dtype))
+        x_true, _ = flatten_state(
+            make_state(atm_true, retrieve_vmr, retrieve_temperature=ret_T))
         y_clean = np.asarray(fwd_flat(jnp.asarray(x_true)))
         noise = cfg.instrument.noise or 0.005 * float(y_clean.max())
         n_ray = (len(cfg.geometry.tangent_heights_km)
@@ -369,13 +384,14 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
             plot_averaging_kernels, plot_retrieval,
         )
         z_m = np.asarray(atm.z)
-        sig = np.sqrt(np.maximum(np.diag(res.S_hat)[:n_lev], 0.0))
-        plot_retrieval(os.path.join(cfg.run.output_dir, "retrieval_T.png"),
-                       z_m, res.x[:n_lev], np.asarray(x0)[:n_lev],
-                       T_sigma=sig)
+        if ret_T:
+            sig = np.sqrt(np.maximum(np.diag(res.S_hat)[:n_lev], 0.0))
+            plot_retrieval(
+                os.path.join(cfg.run.output_dir, "retrieval_T.png"),
+                z_m, res.x[:n_lev], np.asarray(x0)[:n_lev], T_sigma=sig)
         plot_averaging_kernels(
             os.path.join(cfg.run.output_dir, "averaging_kernels.png"),
-            z_m, res.A_kernel, n_lev)
+            z_m, res.A_kernel, min(n_lev, res.A_kernel.shape[0]))
     except Exception as e:  # plotting must never fail a retrieval
         print(f"plotting skipped: {e}", file=sys.stderr)
     print(f"retrieve: converged={res.converged} n_iter={res.n_iter} "

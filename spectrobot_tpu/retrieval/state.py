@@ -28,21 +28,25 @@ from spectrobot_tpu.ops.strengths import DeviceLines
 
 
 def make_state(atm: Atmosphere, retrieve_vmr: Sequence[str],
-               T_surface: Optional[float] = None) -> Dict:
-    """Initial state from an atmosphere: kinetic T profile + log-VMR profiles
-    of the retrieved species (log keeps VMRs positive under LM steps).
+               T_surface: Optional[float] = None,
+               retrieve_temperature: bool = True) -> Dict:
+    """Initial state from an atmosphere: kinetic T profile (unless
+    ``retrieve_temperature=False`` — VMR-only retrievals hold T fixed, as the
+    reference's bayes sets allow per-quantity switches) + log-VMR profiles of
+    the retrieved species (log keeps VMRs positive under LM steps).
     Pass ``T_surface`` to ALSO retrieve the surface temperature (nadir)."""
-    state = {
-        "T": atm.T,
+    state: Dict = {
         "ln_vmr": {s: jnp.log(atm.vmr[s]) for s in retrieve_vmr},
     }
+    if retrieve_temperature:
+        state["T"] = atm.T
     if T_surface is not None:
         state["T_surface"] = jnp.asarray(T_surface, atm.T.dtype)
     return state
 
 
 def apply_state(atm: Atmosphere, state: Dict) -> Atmosphere:
-    out = atm.with_temperature(state["T"])
+    out = atm.with_temperature(state["T"]) if "T" in state else atm
     for s, lv in state["ln_vmr"].items():
         out = out.with_vmr(s, jnp.exp(lv))
     return out  # (surface parameters are consumed by the forward, not atm)

@@ -323,3 +323,52 @@ output_dir = "{tmp_path}/ret"
     assert main(["retrieve", str(cfg)]) == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["converged"]
+
+
+def test_cli_retrieve_vmr_only(tmp_path, capsys):
+    """VMR-only retrieval (retrieve_temperature = false): the reference's
+    bayes sets switch T and VMR independently."""
+    from spectrobot_tpu.cli import main
+    cfg = tmp_path / "v.toml"
+    cfg.write_text(f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 256
+[scene]
+n_levels = 7
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [8.0, 25.0]
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 128
+[retrieval]
+retrieve_temperature = false
+retrieve_vmr = ["CO2"]
+max_iter = 8
+[run]
+output_dir = "{tmp_path}/ret"
+""")
+    assert main(["retrieve", str(cfg)]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["converged"]
+    with np.load(os.path.join(str(tmp_path), "ret", "retrieval.npz")) as z:
+        x = z["x"]
+    # State is the CO2 ln-VMR profile only (7 levels, no T block).
+    assert x.shape == (7,)
+    # Retrieved ln VMR moved toward the perturbed truth (nonzero update).
+    assert np.max(np.abs(x - np.log(0.9532))) > 0.05
+
+
+def test_cli_retrieve_nothing_rejected(tmp_path):
+    from spectrobot_tpu.cli import main
+    import pytest
+    cfg = tmp_path / "n.toml"
+    cfg.write_text("""
+[retrieval]
+retrieve_temperature = false
+""")
+    with pytest.raises(ValueError, match="nothing to retrieve"):
+        main(["retrieve", str(cfg)])
