@@ -153,6 +153,19 @@ def build_scene(cfg):
     return planet, atm, dl, species_names, nu, nu_off, W, chans, nlte
 
 
+def _mesh_plan(cfg):
+    """(use_mesh, mesh_shape) from compute.mesh_*: engages only when the user
+    EXPLICITLY sets any axis (defaults (1, 1, 0) stay single-device, so plain
+    configs keep working on multi-chip hosts)."""
+    import jax
+    n_dev = len(jax.devices())
+    m_ray, m_line = cfg.compute.mesh_ray, cfg.compute.mesh_line
+    explicit = (m_ray, m_line, cfg.compute.mesh_nu) != (1, 1, 0)
+    m_nu = cfg.compute.mesh_nu or max(n_dev // max(m_ray * m_line, 1), 1)
+    shape = (m_ray, m_line, m_nu)
+    return explicit and int(np.prod(shape)) > 1, shape
+
+
 def cmd_forward(cfg) -> dict:
     import jax
     import jax.numpy as jnp
@@ -166,15 +179,9 @@ def cmd_forward(cfg) -> dict:
     use_pallas = (cfg.compute.use_pallas
                   and jax.devices()[0].platform == "tpu")
 
-    # Mesh path (C20-C23): engages only when the user EXPLICITLY sets any
-    # compute.mesh_* axis (defaults (1, 1, 0) stay single-device, so plain
-    # configs keep working on multi-chip hosts).
-    n_dev = len(jax.devices())
-    m_ray, m_line = cfg.compute.mesh_ray, cfg.compute.mesh_line
-    explicit_mesh = (m_ray, m_line, cfg.compute.mesh_nu) != (1, 1, 0)
-    m_nu = cfg.compute.mesh_nu or max(n_dev // max(m_ray * m_line, 1), 1)
-    mesh_shape = (m_ray, m_line, m_nu)
-    use_mesh = explicit_mesh and int(np.prod(mesh_shape)) > 1
+    # Mesh path (C20-C23).
+    use_mesh, mesh_shape = _mesh_plan(cfg)
+    m_ray, m_line, m_nu = mesh_shape
     if use_mesh and cfg.geometry.mode != "limb":
         raise NotImplementedError(
             "mesh forward (compute.mesh_*) currently supports limb geometry "
@@ -280,6 +287,35 @@ def cmd_forward(cfg) -> dict:
             "output": out_path, "n_lines": dl.n_lines}
 
 
+def _make_jacobian(cfg, fwd_flat, x0, nu, W, h_t):
+    """Jacobian callable with the HBM memory guard (VERDICT r1 item 9):
+    plain ``jacfwd`` carries an (n_x x n_y)-sized tangent batch through the
+    line sum — fine for small retrievals, >100 GB at scale (README).  Above
+    a working-set threshold (or when retrieval.jac_chunk > 0) switch to
+    ``jacobian_fwd_chunked``, which bounds the live tangent batch."""
+    import jax
+    from spectrobot_tpu.retrieval.state import jacobian_fwd_chunked
+
+    n_x = int(np.asarray(x0).shape[0])
+    n_ray = int(h_t.shape[0]) if h_t is not None else len(cfg.geometry.sec_theta)
+    n_fine = int(nu.shape[0])
+    chunk = cfg.retrieval.jac_chunk
+    if chunk == 0:
+        # Auto: the tangent batch peaks at ~n_x x n_ray x n_layers x n_fine
+        # floats inside the per-layer line sums; cap the estimate at ~8 GB
+        # of f32 before chunking to 16 columns.
+        n_lay = cfg.scene.n_levels - 1
+        est_bytes = 4.0 * n_x * n_ray * n_lay * n_fine
+        chunk = 16 if est_bytes > 8e9 else None
+    if chunk:
+        import sys as _sys
+        print(f"jacobian: chunked forward-mode ({chunk} tangent columns)",
+              file=_sys.stderr)
+        return jax.jit(lambda x: jacobian_fwd_chunked(fwd_flat, x,
+                                                      chunk=int(chunk)))
+    return jax.jit(lambda x: jax.jacfwd(fwd_flat)(x))
+
+
 def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     import jax
     import jax.numpy as jnp
@@ -300,12 +336,6 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     engine = ("pallas" if cfg.compute.use_pallas and dl.n_lines >= 4096
               and cfg.compute.variant == "humlicek4"
               and jax.devices()[0].platform == "tpu" else "jnp")
-    fwd = build_forward(
-        atm, dl, nu, species_names, planet, tangent_heights_m=h_t,
-        sec_theta=sec, T_surface=cfg.geometry.t_surface, ils_W=W,
-        nlte=nlte, n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
-        cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
-        nu_off=nu_off, engine=engine)
 
     retrieve_vmr = list(cfg.retrieval.retrieve_vmr)
     ret_T = cfg.retrieval.retrieve_temperature
@@ -315,8 +345,43 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
                          "retrieval.retrieve_vmr")
     state0 = make_state(atm, retrieve_vmr, retrieve_temperature=ret_T)
     x0, unravel = flatten_state(state0)
-    fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
-    jac = jax.jit(lambda x: jax.jacfwd(fwd_flat)(x))
+
+    use_mesh, mesh_shape = _mesh_plan(cfg)
+    oe_sharded = None
+    if use_mesh:
+        # Distributed retrieval (C26 + C16, parallel/oe.py): sharded forward,
+        # psum-assembled normal equations per LM iteration, all_gather
+        # Jacobian for the posterior diagnostics.
+        if cfg.geometry.mode != "limb":
+            raise NotImplementedError(
+                "mesh retrieval (compute.mesh_*) currently supports limb "
+                "geometry only")
+        from spectrobot_tpu.parallel.mesh import make_mesh
+        from spectrobot_tpu.parallel.oe import make_sharded_oe
+        m_ray, m_line, m_nu = mesh_shape
+        assert len(cfg.geometry.tangent_heights_km) % m_ray == 0, \
+            "n tangent heights must divide mesh_ray"
+        assert cfg.grid.n_points % m_nu == 0, "n_points must divide mesh_nu"
+        mesh = make_mesh(mesh_shape)
+        oe_sharded = make_sharded_oe(
+            mesh, atm, dl, nu, species_names, planet, h_t,
+            state_template=state0, ils_W=W, nlte=nlte,
+            n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
+            cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
+            nu_off=nu_off)
+        fwd_flat, jac = oe_sharded.forward_flat, oe_sharded.jacobian
+        print(f"mesh retrieval over "
+              f"{dict(zip(('ray', 'line', 'nu'), mesh_shape))}",
+              file=sys.stderr)
+    else:
+        fwd = build_forward(
+            atm, dl, nu, species_names, planet, tangent_heights_m=h_t,
+            sec_theta=sec, T_surface=cfg.geometry.t_surface, ils_W=W,
+            nlte=nlte, n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
+            cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
+            nu_off=nu_off, engine=engine)
+        fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
+        jac = _make_jacobian(cfg, fwd_flat, x0, nu, W, h_t)
 
     n_lev = atm.n_lev
     # Prior blocks in ravel_pytree's flat order: "T" (sorted before
@@ -368,13 +433,18 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     log_path = cfg.run.log_file or os.path.join(cfg.run.output_dir, "run.jsonl")
     ck_dir = cfg.run.checkpoint_dir or os.path.join(cfg.run.output_dir, "ck")
     logger = RunLogger(log_path, echo=True)
+    normal_eqs = None
+    if oe_sharded is not None:
+        oe_sharded.bind_observation(y_obs, noise_flat)
+        normal_eqs = oe_sharded.normal_eqs
     res = retrieve(
         fwd_flat, jac, jnp.asarray(y_obs), x0, x0, S_a,
         jnp.asarray(noise_flat),
         OEConfig(max_iter=cfg.retrieval.max_iter,
                  lm_lambda0=cfg.retrieval.lm_lambda0,
                  chi2_rel_tol=cfg.retrieval.chi2_rel_tol),
-        logger=logger, checkpointer=Checkpointer(ck_dir))
+        logger=logger, checkpointer=Checkpointer(ck_dir),
+        normal_eqs=normal_eqs)
 
     out_path = os.path.join(cfg.run.output_dir, "retrieval.npz")
     np.savez(out_path, x=res.x, S_hat=res.S_hat, A_kernel=res.A_kernel,

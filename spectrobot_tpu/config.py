@@ -87,6 +87,7 @@ class ComputeConfig:
     use_lut: bool = False               # (P,T) LUT runtime (LTE forward only)
     lut_n_T: int = 21
     lut_n_p: int = 25
+    lut_path: str = ""                  # persist/reuse the LUT ("" = rebuild)
     mesh_ray: int = 1
     mesh_line: int = 1
     mesh_nu: int = 0                    # 0 => all remaining devices
@@ -101,8 +102,12 @@ class RetrievalConfig:
     chi2_rel_tol: float = 1e-3
     sigma_T: float = 10.0               # prior std [K]
     sigma_lnvmr: float = 1.0            # prior std [ln]
-    obs_path: str = ""                  # Observation .npz ("" = self-test)
+    obs_path: str = ""                  # Observation .npz/.csv ("" = self-test)
     windows: Tuple = ()                 # ((lo, hi), ...) spectral windows
+    # Jacobian tangent-batch bound: 0 = auto (plain jacfwd while the tangent
+    # batch n_x * n_y fits comfortably, chunked above — the README-measured
+    # OOM guard), N > 0 = always chunk to N columns.
+    jac_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,172 @@
+"""Sharded OE/LM retrieval: the production distributed-inversion path
+(C26 integrated with C16, SURVEY.md 4.2; BASELINE.json:5 "assembling
+analytic Jacobians for the OE/LM retrieval loop via ICI allgather").
+
+The reference (fedef17/SpectRobot spect_main_module LM driver [SURVEY.md
+1.2]) is single-node; this module is the TPU-native replacement: the
+forward model runs under ``shard_map`` on the (ray, line, nu) mesh
+(parallel/sharded.py), the analytic Jacobian is obtained by LINEARISING the
+sharded forward once per iteration and scanning unit tangents through the
+linearised program (the shared Voigt basis of ops/opacity.py is evaluated
+once; each column is an MXU contraction), and the LM normal equations are
+assembled on-device with ONE psum over the measurement-sharded axes
+(parallel/retrieval.sharded_normal_equations) — O(n_x^2) ICI traffic per
+shard, independent of the measurement count.  The full Jacobian matrix is
+materialised only when diagnostics ask for it, via
+``lax.all_gather`` (parallel/retrieval.allgather_jacobian).
+
+The host-side LM loop stays :func:`spectrobot_tpu.retrieval.oe.retrieve`
+(float64 solve); it consumes these callables through its ``normal_eqs``
+hook, so checkpointing, JSONL metrics and convergence logic are shared with
+the single-device path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh
+
+from spectrobot_tpu.data.atmosphere import Atmosphere, Planet
+from spectrobot_tpu.data.nlte import DeviceNLTE
+from spectrobot_tpu.forward.geometry import limb_path_cg
+from spectrobot_tpu.ops.ils import apply_ils
+from spectrobot_tpu.ops.strengths import DeviceLines
+from spectrobot_tpu.parallel.retrieval import (
+    allgather_jacobian, sharded_normal_equations,
+)
+from spectrobot_tpu.parallel.sharded import (
+    pad_lines_for_mesh, sharded_radiance_fn, stage_sharded,
+)
+from spectrobot_tpu.retrieval.state import apply_state
+
+
+class ShardedOE:
+    """Bundle of jitted callables driving the distributed LM loop.
+
+    forward_flat(x) -> y        sharded forward, flat measurement vector
+    normal_eqs(x)   -> (F, H, g)  F = forward, H = K^T Se^-1 K (psum over
+                                  the mesh), g = K^T Se^-1 (y - F)
+    jacobian(x)     -> K        full [n_y, n_x] via ICI all_gather
+    """
+
+    def __init__(self, forward_flat, normal_eqs, jacobian, n_x: int,
+                 mesh: Mesh, row_axes: Tuple[str, ...]):
+        self.forward_flat = forward_flat
+        self._normal_eqs = normal_eqs
+        self.jacobian = jacobian
+        self.n_x = n_x
+        self.mesh = mesh
+        self.row_axes = row_axes
+        self._y = None
+        self._inv_se = None
+
+    def bind_observation(self, y, noise_sigma) -> None:
+        """Fix (y, S_eps^-1) so ``normal_eqs`` matches the retrieve() hook
+        signature x -> (F, H, g)."""
+        dt = jnp.result_type(jnp.float32) if jnp.asarray(y).dtype not in (
+            jnp.float32, jnp.float64) else jnp.asarray(y).dtype
+        self._y = jnp.asarray(y, dt)
+        self._inv_se = jnp.asarray(
+            1.0 / np.asarray(noise_sigma, np.float64) ** 2, dt)
+
+    def normal_eqs(self, x):
+        assert self._y is not None, "call bind_observation(y, sigma) first"
+        return self._normal_eqs(x, self._y, self._inv_se)
+
+
+def make_sharded_oe(
+    mesh: Mesh,
+    base_atm: Atmosphere,
+    lines: DeviceLines,
+    nu_grid: jnp.ndarray,
+    species: Sequence[str],
+    planet: Planet,
+    tangent_heights_m: jnp.ndarray,
+    *,
+    state_template: Dict,
+    ils_W: Optional[jnp.ndarray] = None,
+    nlte: Optional[DeviceNLTE] = None,
+    n_sub: int = 4,
+    variant: str = "humlicek4",
+    cutoff_cm1: Optional[float] = 25.0,
+    chunk: int = 256,
+    nu_off: Optional[jnp.ndarray] = None,
+    unravel=None,
+) -> ShardedOE:
+    """Build the sharded retrieval callables for a limb scene.
+
+    ``state_template``/``unravel`` come from retrieval.state.make_state +
+    flatten_state — the state pytree is REPLICATED (it is tiny); everything
+    measurement-sized is sharded.  Shape contract (parallel/sharded.py):
+    n_rays % mesh['ray'] == 0 and n_points % mesh['nu'] == 0; the line axis
+    is padded here.
+    """
+    if unravel is None:
+        from spectrobot_tpu.retrieval.state import flatten_state
+        x0, unravel = flatten_state(state_template)
+        n_x = int(x0.shape[0])
+    else:
+        from jax.flatten_util import ravel_pytree
+        n_x = int(ravel_pytree(state_template)[0].shape[0])
+
+    n_line_shards = mesh.shape["line"]
+    dlp = pad_lines_for_mesh(lines, n_line_shards)
+    fwd_sharded = sharded_radiance_fn(
+        mesh, has_nlte=nlte is not None, has_background=False,
+        variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk)
+    # Static inputs staged once with their mesh layout (cg placeholder is
+    # discarded — the retrieval recomputes it from the state every call).
+    cg0 = limb_path_cg(base_atm, species, tangent_heights_m, planet, n_sub)
+    nu_s, lines_s, _, nlte_s, _ = stage_sharded(mesh, nu_grid, dlp, cg0,
+                                                nlte=nlte)
+    if nu_off is None:
+        nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
+
+    def model(x):
+        state = unravel(x)
+        atm = apply_state(base_atm, state)
+        cg = limb_path_cg(atm, species, tangent_heights_m, planet, n_sub)
+        I = fwd_sharded(nu_s, lines_s, cg, nlte_s, nu_off=nu_off)  # [R, P]
+        if ils_W is not None:
+            # Mixes across the sharded nu axis — outside the shard_map, so
+            # GSPMD inserts the reduce over nu shards automatically.
+            I = apply_ils(I, ils_W)
+        return I.reshape(-1)
+
+    # With ILS the channel axis is replicated, so Jacobian rows are sharded
+    # over 'ray' only; on the fine grid they carry both ('ray', 'nu').
+    row_axes = ("ray",) if ils_W is not None else ("ray", "nu")
+    ne_fn = sharded_normal_equations(mesh, axes=row_axes)
+    gather_fn = allgather_jacobian(mesh, axes=row_axes)
+
+    def jac_columns(x):
+        """K [n_y, n_x]: linearise the sharded forward ONCE (the analytic
+        custom-JVP basis is tangent-independent, so it is computed a single
+        time), then scan the n_x unit tangents through the linear map —
+        scan, not vmap, because shard_map has no batching rule to vmap
+        over (same trick as __graft_entry__.dryrun_multichip round 1)."""
+        F, lin = jax.linearize(model, x)
+        eye = jnp.eye(n_x, dtype=x.dtype)
+        _, KT = lax.scan(lambda c, v: (None, lin(v)), None, eye)
+        return F, KT.T
+
+    def _normal_eqs(x, y, inv_se):
+        F, K = jac_columns(x)
+        H, g = ne_fn(K, y - F, inv_se)
+        return F, H, g
+
+    def _jacobian(x):
+        _, K = jac_columns(x)
+        return gather_fn(K)
+
+    oe = ShardedOE(
+        forward_flat=jax.jit(model),
+        normal_eqs=jax.jit(_normal_eqs),
+        jacobian=jax.jit(_jacobian),
+        n_x=n_x, mesh=mesh, row_axes=row_axes)
+    return oe

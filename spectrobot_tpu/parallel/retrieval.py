@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -35,8 +36,12 @@ def sharded_normal_equations(mesh: Mesh, axes: Tuple[str, ...] = ("ray", "nu")):
 
     def body(K, r, inv_se):
         KtSe = K.T * inv_se[None, :]
-        H_loc = KtSe @ K
-        b_loc = KtSe @ r
+        # HIGHEST: the normal equations carry condition numbers ~1e6+; the
+        # TPU default bf16 matmul precision would corrupt them outright
+        # (see ops/opacity.py round-1 hardening notes).
+        hp = dict(precision=jax.lax.Precision.HIGHEST)
+        H_loc = jnp.matmul(KtSe, K, **hp)
+        b_loc = jnp.matmul(KtSe, r, **hp)
         H = lax.psum(H_loc, axes)
         b = lax.psum(b_loc, axes)
         return H, b

@@ -58,6 +58,24 @@ def _chi2_terms(y, F, x, x_a, inv_se_diag, S_a_inv):
     return meas, prior
 
 
+def _lm_solve(x, H, g, x_a, S_a_inv, lam):
+    """LM solve from pre-assembled normal equations (float64 host):
+
+        (H + S_a^-1 + lam*diag(S_a^-1)) dx = g - S_a^-1 (x - x_a)
+
+    with H = K^T Se^-1 K and g = K^T Se^-1 (y - F).  This is the entry the
+    DISTRIBUTED path uses: (H, g) arrive psum-assembled from the mesh
+    (parallel/oe.py) and only O(n_x^2) numbers ever reach the host."""
+    x64 = np.asarray(x, np.float64)
+    H64 = np.asarray(H, np.float64)
+    Sai = np.asarray(S_a_inv, np.float64)
+    A = H64 + Sai + lam * np.diag(np.diag(Sai))
+    b = np.asarray(g, np.float64) - Sai @ (x64 - np.asarray(x_a, np.float64))
+    dx = np.linalg.solve(A, b)
+    d2 = float(dx @ b)     # Rodgers convergence metric
+    return x64 + dx, dx, d2
+
+
 def _lm_step(x, K, F, y, x_a, inv_se_diag, S_a_inv, lam):
     """One LM solve:  (K^T Se^-1 K + S_a^-1 + lam*diag(S_a^-1)) dx = b.
 
@@ -91,6 +109,7 @@ def retrieve(
     cfg: OEConfig = OEConfig(),
     logger=None,
     checkpointer=None,
+    normal_eqs=None,
 ) -> RetrievalResult:
     """Run the OE/LM loop to convergence (config 5, BASELINE.json:11).
 
@@ -98,6 +117,13 @@ def retrieve(
     noise_sigma: per-channel measurement noise (diagonal S_eps).
     logger: optional utils.runlog.RunLogger; checkpointer: optional
     utils.checkpoint.Checkpointer (resume supported via its ``latest()``).
+
+    normal_eqs: optional x -> (F, H, g) with H = K^T Se^-1 K and
+    g = K^T Se^-1 (y - F) pre-assembled ON DEVICE — the distributed path
+    (parallel/oe.py): each LM iteration then moves only O(n_x^2) numbers to
+    the host and never materialises K.  ``jacobian`` is still used ONCE
+    after convergence for the posterior/averaging-kernel diagnostics (the
+    sharded path passes its ICI all_gather Jacobian there).
     """
     inv_se = np.asarray(1.0 / np.asarray(noise_sigma, np.float64) ** 2)
     S_a = np.asarray(S_a, np.float64)
@@ -129,8 +155,12 @@ def retrieve(
 
     for it in range(start_iter, cfg.max_iter):
         t0 = time.time()
-        K = jacobian(dev(x))
-        x_try, dx, d2 = _lm_step(x, K, F, y, x_a, inv_se, S_a_inv, lam)
+        if normal_eqs is not None:
+            _, H, g = normal_eqs(dev(x))
+            x_try, dx, d2 = _lm_solve(x, H, g, x_a, S_a_inv, lam)
+        else:
+            K = jacobian(dev(x))
+            x_try, dx, d2 = _lm_step(x, K, F, y, x_a, inv_se, S_a_inv, lam)
         F_try = np.asarray(forward_flat(dev(x_try)), np.float64)
         m_try, p_try = _chi2_terms(y, F_try, x_try, x_a, inv_se, S_a_inv)
         chi2_try = float(m_try + p_try)
@@ -170,9 +200,10 @@ def retrieve(
             if lam > cfg.lambda_max:
                 break
 
-    if K is None:
-        K = jacobian(dev(x))
-    # Posterior covariance and averaging kernels (Rodgers 2000).
+    # Posterior covariance and averaging kernels (Rodgers 2000) — evaluated
+    # at the RETRIEVED state x-hat (the loop's last K is at the pre-step x,
+    # which is not the solution once a step was accepted).
+    K = jacobian(dev(x))
     KtSe = np.asarray(K).T * np.asarray(inv_se)[None, :]
     H = KtSe @ np.asarray(K)
     S_hat = np.linalg.inv(H + np.asarray(S_a_inv))
