@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: Pallas opacity-kernel throughput on one chip.
+"""Headline benchmarks on one chip (BASELINE.json:2 — both metrics).
 
-Metric (BASELINE.json:2): (spectral-point x line) evaluations per second per
-chip, dense evaluation (every pair evaluated — the honest denominator), on
-the fused Voigt+accumulation Pallas kernel (ops/pallas_opacity.py).
-Baseline: the project target >= 1e9 evals/s/chip (BASELINE.md; the reference
-publishes no numbers).
+1. Limb-scan wall-clock: Mars limb forward model (20 tangent heights,
+   8192 spectral points, 32 layers, ILS) + full analytic Jacobian over the
+   32-parameter temperature profile — the end-to-end production economics.
+2. Kernel throughput: (spectral-point x line) evaluations per second per
+   chip, dense evaluation (every pair evaluated — the honest denominator),
+   on the fused Voigt+accumulation Pallas kernel (ops/pallas_opacity.py).
+   Baseline: the project target >= 1e9 evals/s/chip (BASELINE.md; the
+   reference publishes no numbers).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Diagnostics go to stderr.
+Prints one JSON line per metric; the kernel-throughput headline metric is
+the LAST line (the driver's primary capture).  Diagnostics go to stderr.
 """
 
 import json
@@ -24,17 +27,76 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 BASELINE = 1.0e9  # evals/s/chip target (BASELINE.md)
+# Round-1 measured wall-clock for the limb-scan scenario (README): the
+# vs_baseline denominator so the driver sees regressions between rounds.
+BASELINE_LIMB_SCAN_S = 0.80  # forward + full analytic Jacobian, v5e
 
 
-def main() -> None:
+def _median_time(fn, n_rep: int, n_batch: int) -> float:
+    import jax as _jax
+    times = []
+    for _ in range(n_batch):
+        t0 = time.time()
+        for _ in range(n_rep):
+            out = fn()
+        _jax.block_until_ready(out)
+        times.append((time.time() - t0) / n_rep)
+    return sorted(times)[len(times) // 2]
+
+
+def bench_limb_scan(on_tpu: bool) -> tuple:
+    """Mars limb scan: 20 tangent heights, 8192 pts, 32 layers, ILS;
+    forward + full analytic Jacobian (32 T-profile parameters)."""
+    from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+    from spectrobot_tpu.data.synth import co2_15um_band
+    from spectrobot_tpu.ops.ils import ils_matrix
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+    from spectrobot_tpu.retrieval.state import (
+        build_forward, flatten_state, jacobian_fwd_chunked, make_state)
+
+    P, n_lev, n_rays = (8192, 32, 20) if on_tpu else (1024, 8, 4)
+    ll = co2_15um_band(j_max=80)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32)
+    atm = mars_standard_atmosphere(n_lev=n_lev, z_top=80e3)
+    nu64 = np.linspace(600.0, 750.0, P)
+    nu = jnp.asarray(nu64, jnp.float32)
+    nu_off = jnp.asarray(nu64 - float(dl.nu_ref), jnp.float32)
+    ths = jnp.asarray(np.linspace(5e3, 70e3, n_rays), jnp.float32)
+    chans = np.linspace(605.0, 745.0, 256)
+    W = jnp.asarray(ils_matrix(nu64, chans, fwhm=0.8), jnp.float32)
+
+    fwd = build_forward(atm, dl, nu, ["CO2"], MARS, tangent_heights_m=ths,
+                        ils_W=W, nu_off=nu_off)
+    state = make_state(atm, retrieve_vmr=[])
+    x0, unravel = flatten_state(state)
+    fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
+    jac = jax.jit(lambda x: jacobian_fwd_chunked(fwd_flat, x, chunk=16))
+
+    t0 = time.time()
+    jax.block_until_ready((fwd_flat(x0), jac(x0)))
+    print(f"limb scan compile+first run: {time.time() - t0:.1f}s "
+          f"({n_rays} rays, {P} pts, {n_lev} lev, {ll.nu0.shape[0]} lines)",
+          file=sys.stderr)
+    n_rep, n_batch = (3, 5) if on_tpu else (1, 1)
+    t_fwd = _median_time(lambda: fwd_flat(x0), n_rep, n_batch)
+    t_jac = _median_time(lambda: jac(x0), n_rep, n_batch)
+    wall = t_fwd + t_jac
+    print(f"forward {t_fwd * 1e3:.0f} ms  jacobian {t_jac * 1e3:.0f} ms "
+          f"({t_jac / t_fwd:.1f}x fwd)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "limb_scan_forward_jacobian_wall_s",
+        "value": wall,
+        "unit": "s (forward + 32-column analytic Jacobian)",
+        "vs_baseline": BASELINE_LIMB_SCAN_S / wall,  # >1 means faster
+    }))
+    return t_fwd, t_jac
+
+
+def bench_kernel(on_tpu: bool) -> float:
     from spectrobot_tpu.data.synth import random_lines
     from spectrobot_tpu.ops.opacity import line_kernel_inputs
     from spectrobot_tpu.ops.pallas_opacity import accumulate_pallas
     from spectrobot_tpu.ops.strengths import device_lines_from_linelist
-
-    dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
-    on_tpu = dev.platform == "tpu"
 
     P = 16384 if on_tpu else 2048
     L = 20480 if on_tpu else 1024
@@ -72,6 +134,15 @@ def main() -> None:
         "unit": "(spectral-point x line)/s",
         "vs_baseline": rate / BASELINE,
     }))
+    return rate
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+    on_tpu = dev.platform == "tpu"
+    bench_limb_scan(on_tpu)
+    bench_kernel(on_tpu)  # headline metric LAST — the driver's primary capture
 
 
 if __name__ == "__main__":
