@@ -70,7 +70,7 @@ def bench_limb_scan(on_tpu: bool) -> tuple:
     state = make_state(atm, retrieve_vmr=[])
     x0, unravel = flatten_state(state)
     fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
-    jac = jax.jit(lambda x: jacobian_fwd_chunked(fwd_flat, x, chunk=16))
+    jac = jax.jit(lambda x: jacobian_fwd_chunked(fwd_flat, x, chunk=32))
 
     t0 = time.time()
     jax.block_until_ready((fwd_flat(x0), jac(x0)))

@@ -100,6 +100,7 @@ def accumulate_jnp(
     amps = kl.amps.astype(dt)
     n_out, L = amps.shape
 
+    chunk = min(chunk, max(L, 1))   # short line lists: no pad waste
     Lp = ((L + chunk - 1) // chunk) * chunk
     pad = Lp - L
     if pad:
@@ -176,15 +177,22 @@ def accumulate_jnp(
 def _basis(nu_grid, nc, s, yy, *, variant, cutoff_cm1, dt):
     """Per-(line, point) stable basis (K, Kx, xKx, Ky) for one line chunk.
 
-    K follows ``variant`` (primal parity); the partials always come from the
-    Weideman closed-form gradient (see conditioning note above).
+    Both K and the partials come from the closed-form gradient of the SAME
+    approximant the primal uses (round 2): ``humlicek4`` differentiates the
+    w4 rationals (:func:`voigt.wofz_humlicek4_grad` — ~2.5x the primal's
+    flops and primal-consistent, so analytic Jacobians are the exact
+    derivative of the forward), ``weideman`` differentiates the Weideman
+    approximant.  Either way the partials are per-pair stable in f32 (see
+    the conditioning note above — the exact identity w' = -2zw + 2i/sqrt(pi)
+    is NOT usable here).
     """
     dnu = nu_grid[None, :] - nc[:, None]
     x = s[:, None] * dnu
     ybc = jnp.broadcast_to(yy[:, None], x.shape)
-    wr, _, kx, ky = voigt_mod.wofz_weideman_grad(x, ybc)
     if variant == "humlicek4":
-        wr, _ = voigt_mod.wofz_humlicek4(x, ybc)
+        wr, _, kx, ky = voigt_mod.wofz_humlicek4_grad(x, ybc)
+    else:
+        wr, _, kx, ky = voigt_mod.wofz_weideman_grad(x, ybc)
     if cutoff_cm1 is not None:
         m = (jnp.abs(dnu) <= cutoff_cm1).astype(dt)
         wr = wr * m
@@ -195,9 +203,16 @@ def _basis(nu_grid, nc, s, yy, *, variant, cutoff_cm1, dt):
 
 def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
                        d_nu_c, d_sx, d_y, d_amps,
-                       *, chunk, variant, cutoff_cm1):
+                       *, chunk, variant, cutoff_cm1, with_primal=False):
     """Tangent of accumulate for one tangent vector (vmap-friendly: the
-    basis evaluation does not touch tangent inputs)."""
+    basis evaluation does not touch tangent inputs).
+
+    ``with_primal=True`` also accumulates the PRIMAL out = amps @ K in the
+    same scan and returns (primal, tangent) — the K basis is already in
+    hand, so the custom-JVP rule gets both for one Voigt-grad pass instead
+    of a separate primal evaluation (and under jacfwd's tangent vmap the
+    primal contraction stays unbatched, evaluated once).
+    """
     dt = nu_grid.dtype
     zeros = lambda a: jnp.zeros_like(a)
     d_nu_c = zeros(nu_c) if d_nu_c is None else d_nu_c
@@ -206,6 +221,7 @@ def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
     d_amps = zeros(amps) if d_amps is None else d_amps
     n_out, L = amps.shape
 
+    chunk = min(chunk, max(L, 1))   # short line lists: no pad waste
     Lp = ((L + chunk - 1) // chunk) * chunk
     pad = Lp - L
     if pad:
@@ -224,7 +240,8 @@ def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
                resh(d_nu_c), resh(d_sx), resh(d_y),
                d_amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2))
 
-    def body(acc, ch):
+    def body(carry, ch):
+        acc, acc_p = carry
         nc, s, yy, am, dnc, dsx, dy, dam = ch
         K, Kx, xKx, Ky = _basis(nu_grid, nc, s, yy, variant=variant,
                                 cutoff_cm1=cutoff_cm1, dt=dt)
@@ -240,11 +257,14 @@ def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
                      + jnp.einsum("oc,cp->op", B2, Kx, **hp)
                      + jnp.einsum("oc,cp->op", B3, xKx, **hp)
                      + jnp.einsum("oc,cp->op", B4, Ky, **hp))
-        return acc, None
+        if with_primal:
+            acc_p = acc_p + jnp.einsum("oc,cp->op", am, K, **hp)
+        return (acc, acc_p), None
 
     init = jnp.zeros((n_out, nu_grid.shape[0]), dtype=dt)
-    out, _ = jax.lax.scan(body, init, stacked)
-    return out
+    init_p = init if with_primal else jnp.zeros((), dtype=dt)
+    (out, out_p), _ = jax.lax.scan(body, (init, init_p), stacked)
+    return (out_p, out) if with_primal else out
 
 
 def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
@@ -255,6 +275,7 @@ def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
     """
     dt = nu_grid.dtype
     n_out, L = amps.shape
+    chunk = min(chunk, max(L, 1))   # short line lists: no pad waste
     Lp = ((L + chunk - 1) // chunk) * chunk
     pad = Lp - L
     if pad:
@@ -333,6 +354,145 @@ def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
     return out[:, :P]
 
 
+def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256):
+    """Fused Pallas tangent of the accumulation (VERDICT.md round-1 item 4).
+
+    Returns tangent(nu, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps) ->
+    [n_out, P], built on the in-kernel basis contraction
+    (:func:`spectrobot_tpu.ops.pallas_opacity.basis_contract_pallas_jit`).
+
+    The economics problem this solves: under ``jax.jacfwd`` the tangent
+    function is vmapped over every Jacobian column, and a naive pallas
+    tangent would re-evaluate the (expensive, tangent-independent) Voigt
+    basis per column.  Both vmap levels that occur in practice are
+    intercepted with ``jax.custom_batching.custom_vmap``:
+
+      * structural (ray x layer) vmaps batch ALL line arguments — routed to
+        the explicit-batch kernel (one pallas grid dim per state);
+      * the jacfwd tangent vmap batches ONLY the d_* arguments — FOLDED into
+        the kernel's output-row axis (R = n_tangents x n_out), so the basis
+        is evaluated once per (state, tile, block) for the whole Jacobian
+        and each column costs four MXU matmul rows.
+    """
+    from jax.custom_batching import custom_vmap
+
+    from spectrobot_tpu.ops.pallas_opacity import (
+        basis_contract_pallas_batch_jit, basis_contract_pallas_jit)
+
+    kw = dict(tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
+              interpret=interpret)
+
+    def coeffs(sx, amps, d_nu_c, d_sx, d_y, d_amps):
+        """Basis coefficient rows; broadcasts over any leading batch axes
+        (amps [..., n_out, L], per-line args [..., L])."""
+        C1 = d_amps
+        C2 = amps * (-sx * d_nu_c)[..., None, :]
+        C3 = amps * (d_sx / sx)[..., None, :]
+        C4 = amps * d_y[..., None, :]
+        return C1, C2, C3, C4
+
+    # The PRIMAL rides the same kernel pass as extra rows contracting only
+    # against K (coefficients [amps, 0, 0, 0]) — one basis evaluation yields
+    # primal + every tangent.  Both functions return (primal, tangent).
+
+    def zeros_like_rows(am):
+        return jnp.zeros_like(am)
+
+    # ---- level 1: explicit state batch [B, ...] ----
+    @custom_vmap
+    def tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam):
+        C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
+        z = zeros_like_rows(am)
+        cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+        out = basis_contract_pallas_batch_jit(
+            nu, nc, sx, y, cat(am, C1), cat(z, C2), cat(z, C3), cat(z, C4),
+            **kw)
+        n_out = am.shape[1]
+        return out[:, :n_out], out[:, n_out:]
+
+    @tanB.def_vmap
+    def tanB_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam):
+        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b = in_batched
+        if nub:  # grid batched — no fused form; correctness fallback
+            args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
+                    for a, b in zip((nu, nc, sx, y, am, dnc, dsx, dy, dam),
+                                    in_batched)]
+            return jax.lax.map(lambda t: tanB(*t), tuple(args)), (True, True)
+        if not (ncb or sxb or yb or amb):
+            # Tangent-only batch: fold n_t into the kernel row axis; the
+            # primal rows are shared (unbatched output).
+            n_t = axis_size
+            B, n_out, L = am.shape
+            C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
+            # [n_t, B, n_out, L] -> [B, n_t * n_out, L]
+            fold = lambda C: jnp.moveaxis(C, 0, 1).reshape(B, n_t * n_out, L)
+            z = jnp.zeros_like(am)
+            cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+            out = basis_contract_pallas_batch_jit(
+                nu, nc, sx, y, cat(am, fold(C1)), cat(z, fold(C2)),
+                cat(z, fold(C3)), cat(z, fold(C4)), **kw)
+            primal = out[:, :n_out]
+            tangent = jnp.moveaxis(
+                out[:, n_out:].reshape(B, n_t, n_out, -1), 1, 0)
+            return (primal, tangent), (False, True)
+        # Structural batch (or mixed): broadcast and flatten into B.
+        bcast = lambda a, b: a if b else jnp.broadcast_to(
+            a, (axis_size,) + a.shape)
+        nc, sx, y, am, dnc, dsx, dy, dam = (
+            bcast(a, b) for a, b in zip((nc, sx, y, am, dnc, dsx, dy, dam),
+                                        (ncb, sxb, yb, amb, d1b, d2b, d3b, d4b)))
+        B2, B = nc.shape[0], nc.shape[1]
+        flat = lambda a: a.reshape((B2 * B,) + a.shape[2:])
+        p, t = tanB(nu, flat(nc), flat(sx), flat(y), flat(am),
+                    flat(dnc), flat(dsx), flat(dy), flat(dam))
+        unflat = lambda a: a.reshape((B2, B) + a.shape[1:])
+        return (unflat(p), unflat(t)), (True, True)
+
+    # ---- level 0: single state ----
+    @custom_vmap
+    def tan0(nu, nc, sx, y, am, dnc, dsx, dy, dam):
+        C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
+        z = zeros_like_rows(am)
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        out = basis_contract_pallas_jit(
+            nu, nc, sx, y, cat(am, C1), cat(z, C2), cat(z, C3), cat(z, C4),
+            **kw)
+        n_out = am.shape[0]
+        return out[:n_out], out[n_out:]
+
+    @tan0.def_vmap
+    def tan0_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam):
+        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b = in_batched
+        if nub:  # grid batched — correctness fallback
+            args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
+                    for a, b in zip((nu, nc, sx, y, am, dnc, dsx, dy, dam),
+                                    in_batched)]
+            return jax.lax.map(lambda t: tan0(*t), tuple(args)), (True, True)
+        if not (ncb or sxb or yb or amb):
+            # Tangent-only batch (jacfwd over a single state): fold into
+            # rows; primal rows shared (unbatched output).
+            n_t = axis_size
+            n_out, L = am.shape
+            C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
+            fold = lambda C: C.reshape(n_t * n_out, L)
+            z = jnp.zeros_like(am)
+            cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+            out = basis_contract_pallas_jit(
+                nu, nc, sx, y, cat(am, fold(C1)), cat(z, fold(C2)),
+                cat(z, fold(C3)), cat(z, fold(C4)), **kw)
+            return (out[:n_out], out[n_out:].reshape(n_t, n_out, -1)), \
+                (False, True)
+        # Structural batch: promote to the explicit-batch op.
+        bcast = lambda a, b: a if b else jnp.broadcast_to(
+            a, (axis_size,) + a.shape)
+        nc, sx, y, am, dnc, dsx, dy, dam = (
+            bcast(a, b) for a, b in zip((nc, sx, y, am, dnc, dsx, dy, dam),
+                                        (ncb, sxb, yb, amb, d1b, d2b, d3b, d4b)))
+        return tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam), (True, True)
+
+    return tan0
+
+
 def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                        cutoff_cm1: Optional[float] = 25.0,
                        engine: str = "jnp", interpret: bool = False,
@@ -341,8 +501,11 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
     ANALYTIC derivatives.  nu_grid is non-differentiated (static instrument
     grid; its tangent/cotangent is ignored/zero).  engine: 'jnp' (XLA, any
     backend/dtype) or 'pallas' (TPU kernel primal via
-    :func:`accumulate_pallas_jit`, float32, jit- and vmap-composable; the
-    analytic tangent/transpose stays on the jnp basis path).
+    :func:`accumulate_pallas_jit`, float32, jit- and vmap-composable;
+    mode='fwd' tangents route to the FUSED in-kernel basis contraction —
+    :func:`_make_tangent_pallas` — which evaluates the Voigt basis once per
+    Jacobian and folds every column into the kernel's row axis; the 'rev'
+    transpose stays on the jnp basis path).
 
     mode='fwd' (default): ``jax.custom_jvp`` — jax.jacfwd / jax.jvp get the
     shared-basis analytic tangent (one Voigt pass for the whole Jacobian).
@@ -395,17 +558,31 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
         acc.defvjp(acc_fwd, acc_bwd)
         return acc
 
+    tangent_pallas = (_make_tangent_pallas(cutoff_cm1=cutoff_cm1,
+                                           interpret=interpret)
+                      if engine == "pallas" else None)
+
     @jax.custom_jvp
     def acc(nu_grid, nu_c, sx, y, amps):
         return _primal(nu_grid, nu_c, sx, y, amps)
 
     @acc.defjvp
     def acc_jvp(primals, tangents):
+        # The primal comes out of the SAME basis pass as the tangent
+        # (out = amps @ K with K already in hand) — one Voigt-grad
+        # evaluation yields primal + every Jacobian column.
         nu_grid, nu_c, sx, y, amps = primals
         _, d_nu_c, d_sx, d_y, d_amps = tangents
-        primal_out = _primal(nu_grid, nu_c, sx, y, amps)
-        tangent_out = _tangent_via_basis(
-            nu_grid, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps, **kw)
+        if tangent_pallas is not None:
+            zero = lambda p, d: jnp.zeros_like(p) if d is None else d
+            primal_out, tangent_out = tangent_pallas(
+                nu_grid, nu_c, sx, y, amps, zero(nu_c, d_nu_c),
+                zero(sx, d_sx), zero(y, d_y), zero(amps, d_amps))
+            dt = jnp.result_type(nu_grid)
+            return primal_out.astype(dt), tangent_out.astype(dt)
+        primal_out, tangent_out = _tangent_via_basis(
+            nu_grid, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps,
+            with_primal=True, **kw)
         return primal_out, tangent_out
 
     return acc

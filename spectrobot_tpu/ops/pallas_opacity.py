@@ -37,8 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spectrobot_tpu.constants import INV_SQRT_PI
+from spectrobot_tpu.ops import cpx
 from spectrobot_tpu.ops.opacity import KernelLines
-from spectrobot_tpu.ops.voigt import wofz_humlicek4
+from spectrobot_tpu.ops.voigt import wofz_humlicek4, wofz_humlicek4_grad
 
 
 def _round_up(x: int, m: int) -> int:
@@ -99,6 +100,70 @@ def _wr_tile(x, y, s_min):
     def near(_):
         wr, _ = wofz_humlicek4(x, y)
         return wr
+
+    idx = jnp.where(s_min >= 15.0, 0, jnp.where(s_min >= 5.5, 1, 2))
+    return jax.lax.switch(idx, (far, mid, near), None)
+
+
+def _wrg_region1(x, y):
+    """Humlicek region-1 (K, dK/dx, dK/dy) — primal identical to
+    :func:`_wr_region1`; the derivative is the closed form of THAT formula:
+    with t = y - ix, u = t^2, f' = c (0.5 - u)/(0.5 + u)^2, dK/dx = Im f',
+    dK/dy = Re f'.  Divisions staged through cinv so the largest
+    intermediate is |0.5+u|^2 ~ x^4 (f32-safe at wing extremes)."""
+    ur = y * y - x * x
+    ui = -2.0 * x * y
+    den = (0.5 + ur, ui)
+    inv = cpx.cinv(den)
+    K = INV_SQRT_PI * y * (0.5 + y * y + x * x) / (
+        den[0] * den[0] + den[1] * den[1])
+    g = cpx.cmul(cpx.cscale(INV_SQRT_PI, (0.5 - ur, -ui)),
+                 cpx.cmul(inv, inv))
+    return K, g[1], g[0]
+
+
+def _wrg_region2(x, y):
+    """Humlicek region-2 (K, dK/dx, dK/dy): primal identical to
+    :func:`_wr_region2`; derivative f' = Nd(u)/D(u)^2 with the real-coeff
+    cubic Nd(u) = -c u^3 + 3(c-a) u^2 + (2.25c - 3a) u + 0.75a
+    (a = 1.410474, c = 1/sqrt(pi)), staged through cinv."""
+    a = 1.410474
+    c = INV_SQRT_PI
+    ur = y * y - x * x
+    ui = -2.0 * x * y
+    u = (ur, ui)
+    den = cpx.cadd_re(0.75, cpx.cmul(u, cpx.cadd_re(3.0, u)))
+    inv = cpx.cinv(den)
+    num = cpx.cmul((y, -x), cpx.cadd_re(a, cpx.cscale(c, u)))
+    w = cpx.cmul(num, inv)
+    nd = cpx.cpolyval_real_coeffs(
+        (-c, 3.0 * (c - a), 2.25 * c - 3.0 * a, 0.75 * a), u)
+    g = cpx.cmul(cpx.cmul(nd, inv), inv)
+    return w[0], g[1], g[0]
+
+
+def _basis_tile(x, y, s_min):
+    """(K, Kx, xKx, Ky) for one tile with the same 3-tier block-level region
+    dispatch as :func:`_wr_tile` — each tier computes the closed-form
+    derivative OF the formula the primal uses there, so the analytic
+    Jacobian is the exact derivative of the kernel forward."""
+    def far(_):
+        K, kx, ky = _wrg_region1(x, y)
+        return K, kx, x * kx, ky
+
+    def mid(_):
+        s = jnp.abs(x) + y
+        K1, kx1, ky1 = _wrg_region1(x, y)
+        K2, kx2, ky2 = _wrg_region2(x, y)
+        m = s >= 15.0
+        K = jnp.where(m, K1, K2)
+        kx = jnp.where(m, kx1, kx2)
+        ky = jnp.where(m, ky1, ky2)
+        return K, kx, x * kx, ky
+
+    def near(_):
+        K, _, kx, ky = wofz_humlicek4_grad(x, y)
+        return K, kx, x * kx, ky
 
     idx = jnp.where(s_min >= 15.0, 0, jnp.where(s_min >= 5.5, 1, 2))
     return jax.lax.switch(idx, (far, mid, near), None)
@@ -351,6 +416,222 @@ def accumulate_pallas_batch(
         jnp.asarray(starts), jnp.asarray(counts), max_blocks=max_blocks,
         tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
         interpret=interpret)
+    return out[:, :, :P]
+
+
+# ---------------------------------------------------------------------------
+# Fused analytic-Jacobian basis kernel (VERDICT.md round-1 item 4)
+# ---------------------------------------------------------------------------
+#
+# The analytic tangent of the line sum decomposes over the four
+# tangent-independent basis functions {K, Kx, xKx, Ky} contracted with
+# per-line coefficient rows (ops/opacity.py "analytic custom JVP" notes).
+# This kernel evaluates the four basis matrices IN-TILE — with the same
+# 3-tier region dispatch as the forward kernel, each tier differentiating
+# exactly the formula the primal uses — and contracts all of them against
+# four coefficient inputs in one pass:
+#
+#     out[r, p] = sum_i ( C1[r,i] K + C2[r,i] Kx + C3[r,i] xKx + C4[r,i] Ky )
+#
+# The row axis r carries EVERY Jacobian column at once (r = tangent x
+# spectrum), so the expensive basis evaluation is paid once per Jacobian,
+# and the per-tangent cost is four MXU matmuls.
+
+
+def _basis_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
+                  c1_ref, c2_ref, c3_ref, c4_ref, out_ref,
+                  *, cutoff: Optional[float]):
+    """One (nu-tile, line-block) step of the fused basis contraction.
+
+    nu_ref: [TILE_P, 1]; nuc/sx/y_ref: [1, BLOCK_L]; c*_ref: [R, BLOCK_L];
+    out_ref: [R, TILE_P].
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(j < nblk_ref[i])
+    def _accum():
+        dnu = nu_ref[:, :] - nuc_ref[:, :]            # [TILE_P, BLOCK_L]
+        x = dnu * sx_ref[:, :]
+        y = jnp.broadcast_to(y_ref[:, :], x.shape)
+        np_ = nu_ref.shape[0]
+        gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0] - nu_ref[np_ - 1, 0],
+                                      nu_ref[0, 0] - nuc_ref[0, nuc_ref.shape[1] - 1]),
+                          0.0)
+        s_min = gap * jnp.min(sx_ref[:, :]) + jnp.min(y_ref[:, :])
+        K, Kx, xKx, Ky = _basis_tile(x, y, s_min)
+        if cutoff is not None:
+            m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
+            K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
+        dot = lambda C, B: jax.lax.dot_general(
+            C, B, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[:, :] += (dot(c1_ref[:, :], K) + dot(c2_ref[:, :], Kx)
+                          + dot(c3_ref[:, :], xKx) + dot(c4_ref[:, :], Ky))
+
+
+def _basis_batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
+                        c1_ref, c2_ref, c3_ref, c4_ref, out_ref,
+                        *, cutoff: Optional[float]):
+    """Batched fused basis contraction: one (ray x layer) state per leading
+    grid dim.  nuc/sx/y_ref: [1, 1, BLOCK_L]; c*_ref: [1, R, BLOCK_L];
+    out_ref: [1, R, TILE_P]."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0, :, :] = jnp.zeros_like(out_ref)[0]
+
+    @pl.when(j < nblk_ref[i])
+    def _accum():
+        dnu = nu_ref[:, :] - nuc_ref[0, :, :]
+        x = dnu * sx_ref[0, :, :]
+        y = jnp.broadcast_to(y_ref[0, :, :], x.shape)
+        np_ = nu_ref.shape[0]
+        gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0, 0] - nu_ref[np_ - 1, 0],
+                                      nu_ref[0, 0] - nuc_ref[0, 0, nuc_ref.shape[2] - 1]),
+                          0.0)
+        s_min = gap * jnp.min(sx_ref[0, :, :]) + jnp.min(y_ref[0, :, :])
+        K, Kx, xKx, Ky = _basis_tile(x, y, s_min)
+        if cutoff is not None:
+            m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
+            K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
+        dot = lambda C, B: jax.lax.dot_general(
+            C, B, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[0, :, :] += (dot(c1_ref[0, :, :], K) + dot(c2_ref[0, :, :], Kx)
+                             + dot(c3_ref[0, :, :], xKx)
+                             + dot(c4_ref[0, :, :], Ky))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret"))
+def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
+                              *, tile_p: int = 256, block_l: int = 256,
+                              cutoff_cm1: Optional[float] = 25.0,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Fused basis contraction, jit-composable (single state).
+
+    nu_c/sx/y: [L]; C1..C4: [R, L].  Returns [R, P] float32.  Every line
+    block is visited for every tile (static all-blocks windows, like
+    :func:`spectrobot_tpu.ops.opacity.accumulate_pallas_jit`); the in-kernel
+    cutoff mask and block-level region dispatch do the skipping work.
+    """
+    P = nu_grid.shape[0]
+    L = nu_c.shape[0]
+    R = C1.shape[0]
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    far_nu = jnp.max(nu_grid).astype(jnp.float32) + 1e6
+    far_line = jnp.max(nu_c).astype(jnp.float32) + 1e7
+    nu_pad = jnp.full((Pp,), far_nu, jnp.float32).at[:P].set(
+        nu_grid.astype(jnp.float32))
+    padl = lambda a, fill: jnp.full((Lp,), fill, jnp.float32).at[:L].set(
+        a.astype(jnp.float32))
+    padc = lambda C: jnp.zeros((R, Lp), jnp.float32).at[:, :L].set(
+        C.astype(jnp.float32))
+    n_tiles = Pp // tile_p
+    n_blocks = Lp // block_l
+    starts = jnp.zeros((n_tiles,), jnp.int32)
+    counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+
+    def line_map(i, j, nblk, st):
+        return (0, jnp.minimum(st[i] + j, n_blocks - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((tile_p, 1), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((R, block_l), line_map),
+            pl.BlockSpec((R, block_l), line_map),
+            pl.BlockSpec((R, block_l), line_map),
+            pl.BlockSpec((R, block_l), line_map),
+        ],
+        out_specs=pl.BlockSpec((R, tile_p), lambda i, j, *_: (0, i)),
+    )
+    kern = functools.partial(_basis_kernel, cutoff=cutoff_cm1)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((R, Pp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, starts, nu_pad.reshape(Pp, 1),
+      padl(nu_c, far_line).reshape(1, Lp), padl(sx, 1e6).reshape(1, Lp),
+      padl(y, 1e6).reshape(1, Lp), padc(C1), padc(C2), padc(C3), padc(C4))
+    return out[:, :P]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret"))
+def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
+                                    *, tile_p: int = 256, block_l: int = 256,
+                                    cutoff_cm1: Optional[float] = 25.0,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """Batched fused basis contraction, jit-composable.
+
+    nu_c/sx/y: [B, L]; C1..C4: [B, R, L].  Returns [B, R, P] float32.
+    """
+    P = nu_grid.shape[0]
+    B, L = nu_c.shape
+    R = C1.shape[1]
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    far_nu = jnp.max(nu_grid).astype(jnp.float32) + 1e6
+    far_line = jnp.max(nu_c).astype(jnp.float32) + 1e7
+    nu_pad = jnp.full((Pp,), far_nu, jnp.float32).at[:P].set(
+        nu_grid.astype(jnp.float32))
+    padl = lambda a, fill: jnp.full((B, Lp), fill, jnp.float32).at[:, :L].set(
+        a.astype(jnp.float32))
+    padc = lambda C: jnp.zeros((B, R, Lp), jnp.float32).at[:, :, :L].set(
+        C.astype(jnp.float32))
+    n_tiles = Pp // tile_p
+    n_blocks = Lp // block_l
+    starts = jnp.zeros((n_tiles,), jnp.int32)
+    counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+
+    def line_map(b, i, j, nblk, st):
+        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
+
+    def coef_map(b, i, j, nblk, st):
+        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_tiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((tile_p, 1), lambda b, i, j, *_: (i, 0)),
+            pl.BlockSpec((1, 1, block_l), line_map),
+            pl.BlockSpec((1, 1, block_l), line_map),
+            pl.BlockSpec((1, 1, block_l), line_map),
+            pl.BlockSpec((1, R, block_l), coef_map),
+            pl.BlockSpec((1, R, block_l), coef_map),
+            pl.BlockSpec((1, R, block_l), coef_map),
+            pl.BlockSpec((1, R, block_l), coef_map),
+        ],
+        out_specs=pl.BlockSpec((1, R, tile_p), lambda b, i, j, *_: (b, 0, i)),
+    )
+    kern = functools.partial(_basis_batch_kernel, cutoff=cutoff_cm1)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, R, Pp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, starts, nu_pad.reshape(Pp, 1),
+      padl(nu_c, far_line).reshape(B, 1, Lp), padl(sx, 1e6).reshape(B, 1, Lp),
+      padl(y, 1e6).reshape(B, 1, Lp), padc(C1), padc(C2), padc(C3), padc(C4))
     return out[:, :, :P]
 
 

@@ -153,20 +153,16 @@ def wofz_humlicek4(x, y):
     w2 = cpx.cmul(num2, cpx.cinv(den2))
 
     # Region III: w = N(t)/D(t), Humlicek's degree-4/5 rational in t,
-    # written as expanded real-coefficient polynomials (highest degree first).
-    _N3 = (0.5642236, 3.778987, 11.96482, 20.20933, 16.4955)
-    _D3 = (1.0, 6.699398, 21.69274, 39.27121, 38.82363, 16.4955)
+    # written as expanded real-coefficient polynomials (module-level _N3/_D3,
+    # highest degree first — shared with wofz_humlicek4_grad).
     w3 = cpx.cmul(cpx.cpolyval_real_coeffs(_N3, t),
                   cpx.cinv(cpx.cpolyval_real_coeffs(_D3, t)))
 
     # Region IV: w = exp(u) - t*P(u)/Q(u), u = t^2.  Humlicek's nested
-    # alternating forms expanded to plain polynomials (highest degree first).
-    # exp(u) = exp(y^2 - x^2) cis(-2xy) is bounded here (region IV requires
-    # s < 5.5), but masked-out lanes are clamped to keep them finite.
-    _P4 = (0.56419, -1.320522, 35.76683, -219.0313, 1540.787,
-           -3321.9905, 36183.31)
-    _Q4 = (-1.0, 1.841439, -61.57037, 364.2191, -2186.181, 9022.228,
-           -24322.84, 32066.6)
+    # alternating forms expanded to plain polynomials (_P4/_Q4, highest
+    # degree first).  exp(u) = exp(y^2 - x^2) cis(-2xy) is bounded here
+    # (region IV requires s < 5.5), but masked-out lanes are clamped to keep
+    # them finite.
     xr4 = jnp.where(in4, x, 0.0)
     yr4 = jnp.where(in4, y, 0.0)
     t4 = (yr4, -xr4)
@@ -178,6 +174,102 @@ def wofz_humlicek4(x, y):
     wr = jnp.where(in1, w1[0], jnp.where(in12, w2[0], jnp.where(in4, w4[0], w3[0])))
     wi = jnp.where(in1, w1[1], jnp.where(in12, w2[1], jnp.where(in4, w4[1], w3[1])))
     return (wr, wi)
+
+
+# Humlicek region-3/4 rational coefficients (shared with wofz_humlicek4;
+# highest degree first) and their derivative polynomials.
+_N3 = (0.5642236, 3.778987, 11.96482, 20.20933, 16.4955)
+_D3 = (1.0, 6.699398, 21.69274, 39.27121, 38.82363, 16.4955)
+_P4 = (0.56419, -1.320522, 35.76683, -219.0313, 1540.787, -3321.9905,
+       36183.31)
+_Q4 = (-1.0, 1.841439, -61.57037, 364.2191, -2186.181, 9022.228, -24322.84,
+       32066.6)
+
+
+def _poly_deriv(coeffs):
+    n = len(coeffs)
+    return tuple(c * (n - 1 - j) for j, c in enumerate(coeffs[:-1]))
+
+
+def wofz_humlicek4_grad(x, y):
+    """w(z) plus f32-stable partials of K = Re w, differentiating the
+    Humlicek w4 approximant itself IN CLOSED FORM (region-consistent with
+    :func:`wofz_humlicek4` — the derivative each region formula actually
+    has, so analytic Jacobians match finite differences of the primal).
+
+    Returns (wr, wi, dK_dx, dK_dy).  With t = y - i x and w = f(t):
+    dw/dz = -i f'(t), hence dK/dx = Im f'(t) and dK/dy = Re f'(t).
+    Region derivatives (u = t^2, c = 1/sqrt(pi), a = 1.410474):
+
+      I  : f = c t/(0.5+u)            f' = c (0.5-u) / (0.5+u)^2
+      II : f = t(a+cu)/(0.75+u(3+u))  f' = [0.75a + (2.25c-3a)u
+                                            + 3(c-a)u^2 - c u^3] / D^2
+      III: f = N3/D3                  f' = N3'/D3 - (N3/D3)(D3'/D3)
+      IV : f = e^u - t P/Q            f' = 2t e^u - F - 2u F',
+                                      F = P/Q, F' = P'/Q - F Q'/Q
+
+    All divisions are STAGED through cinv (never |D|^4 in one product): at
+    the wing extreme x ~ 1e5 the intermediate |denominator|^2 stays ~ x^4
+    (f32-safe), where squaring the denominator first would overflow.
+    Region III/IV values at masked-out large-|t| lanes may be inf (selected
+    away by the region masks — inf is select-safe; region IV additionally
+    clamps its inputs because exp overflows).  ~2.5x the primal's flops —
+    versus ~6x for :func:`wofz_weideman_grad` — and unlike the exact
+    identity w' = -2zw + 2i/sqrt(pi) it has NO subtractive cancellation in
+    deep wings (see wofz_weideman_grad's conditioning note).
+    """
+    c = INV_SQRT_PI
+    a = 1.410474
+    t = (y, -x)
+    s = jnp.abs(x) + y
+    in12 = s >= 5.5
+    in1 = s >= 15.0
+    in4 = jnp.logical_and(~in12, y < 0.195 * jnp.abs(x) - 0.176)
+
+    u = cpx.cmul(t, t)
+
+    # Region I
+    inv1 = cpx.cinv(cpx.cadd_re(0.5, u))
+    w1 = cpx.cmul(cpx.cscale(c, t), inv1)
+    g1 = cpx.cmul(cpx.cscale(c, cpx.csub((0.5, jnp.zeros_like(u[1])), u)),
+                  cpx.cmul(inv1, inv1))
+
+    # Region II
+    num2 = cpx.cmul(t, cpx.cadd_re(a, cpx.cscale(c, u)))
+    inv2 = cpx.cinv(cpx.cadd_re(0.75, cpx.cmul(u, cpx.cadd_re(3.0, u))))
+    w2 = cpx.cmul(num2, inv2)
+    _ND2 = (-c, 3.0 * (c - a), 2.25 * c - 3.0 * a, 0.75 * a)
+    g2 = cpx.cmul(cpx.cmul(cpx.cpolyval_real_coeffs(_ND2, u), inv2), inv2)
+
+    # Region III: share invD3 between primal and derivative.
+    invD3 = cpx.cinv(cpx.cpolyval_real_coeffs(_D3, t))
+    w3 = cpx.cmul(cpx.cpolyval_real_coeffs(_N3, t), invD3)
+    g3 = cpx.csub(cpx.cmul(cpx.cpolyval_real_coeffs(_poly_deriv(_N3), t), invD3),
+                  cpx.cmul(w3, cpx.cmul(
+                      cpx.cpolyval_real_coeffs(_poly_deriv(_D3), t), invD3)))
+
+    # Region IV (inputs clamped outside the region: exp overflows there).
+    xr4 = jnp.where(in4, x, 0.0)
+    yr4 = jnp.where(in4, y, 0.0)
+    t4 = (yr4, -xr4)
+    u4 = cpx.cmul(t4, t4)
+    invQ = cpx.cinv(cpx.cpolyval_real_coeffs(_Q4, u4))
+    F = cpx.cmul(cpx.cpolyval_real_coeffs(_P4, u4), invQ)
+    eu = cpx.cexp(u4)
+    w4 = cpx.csub(eu, cpx.cmul(t4, F))
+    dF = cpx.csub(cpx.cmul(cpx.cpolyval_real_coeffs(_poly_deriv(_P4), u4), invQ),
+                  cpx.cmul(F, cpx.cmul(
+                      cpx.cpolyval_real_coeffs(_poly_deriv(_Q4), u4), invQ)))
+    g4 = cpx.csub(cpx.cscale(2.0, cpx.cmul(t4, eu)),
+                  cpx.cadd(F, cpx.cscale(2.0, cpx.cmul(u4, dF))))
+
+    sel = lambda v1, v2, v3, v4: jnp.where(
+        in1, v1, jnp.where(in12, v2, jnp.where(in4, v4, v3)))
+    wr = sel(w1[0], w2[0], w3[0], w4[0])
+    wi = sel(w1[1], w2[1], w3[1], w4[1])
+    kx = sel(g1[1], g2[1], g3[1], g4[1])   # dK/dx = Im f'
+    ky = sel(g1[0], g2[0], g3[0], g4[0])   # dK/dy = Re f'
+    return wr, wi, kx, ky
 
 
 def voigt_profile(dnu, alpha_d, gamma_l, variant: str = "weideman", n_terms: int = 32):
