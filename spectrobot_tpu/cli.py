@@ -216,7 +216,7 @@ def cmd_forward(cfg) -> dict:
         # the per-level-group tier (ops/lut.py NLTELUT).
         from spectrobot_tpu.forward.limb import optics_from_tau, path_radiance
         from spectrobot_tpu.ops.lut import (
-            build_lut, build_nlte_lut, layer_tau_lut, layer_tau_nlte_lut,
+            get_or_build_lut, layer_tau_lut, layer_tau_nlte_lut, lut_mesh,
         )
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)
@@ -231,20 +231,24 @@ def cmd_forward(cfg) -> dict:
             p_max=float(p_arr.max()) * 2.0, n_p=cfg.compute.lut_n_p,
             vmr_self=vs, variant=cfg.compute.variant,
             cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk)
+        mesh = lut_mesh() if cfg.compute.lut_build_mesh else None
+        lut, cached = get_or_build_lut(
+            cfg.compute.lut_path, nu, dl, len(species_names),
+            nlte=nlte is not None, mesh=mesh, **lattice)
+        src = ("cached " + cfg.compute.lut_path if cached else
+               ("built on %d-device mesh" % len(jax.devices()) if mesh
+                else "built"))
         if nlte is not None:
-            lut = build_nlte_lut(nu, dl, n_species=len(species_names),
-                                 **lattice)
             dtau, dtau_em = layer_tau_nlte_lut(lut, cg, nlte)
             I = jax.jit(lambda d, de: path_radiance(
                 optics_from_tau(nu, cg, d, de), cg, None))(dtau, dtau_em)
-            print("LUT runtime forward (non-LTE per-level tables)",
+            print(f"LUT runtime forward (non-LTE per-level tables, {src})",
                   file=sys.stderr)
         else:
-            lut = build_lut(nu, dl, n_species=len(species_names), **lattice)
             dtau = layer_tau_lut(lut, cg)
             I = jax.jit(lambda d: path_radiance(
                 optics_from_tau(nu, cg, d, d), cg, None))(dtau)
-            print("LUT runtime forward (LTE)", file=sys.stderr)
+            print(f"LUT runtime forward (LTE, {src})", file=sys.stderr)
     elif cfg.geometry.mode == "limb":
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)

@@ -88,6 +88,7 @@ class ComputeConfig:
     lut_n_T: int = 21
     lut_n_p: int = 25
     lut_path: str = ""                  # persist/reuse the LUT ("" = rebuild)
+    lut_build_mesh: bool = False        # shard the lattice build over devices
     mesh_ray: int = 1
     mesh_line: int = 1
     mesh_nu: int = 0                    # 0 => all remaining devices

@@ -51,7 +51,9 @@ interpolation error).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+import hashlib
+import os
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +72,52 @@ class OpacityLUT(NamedTuple):
     vmr_self: jnp.ndarray    # [S] self-broadening VMR frozen at build
 
 
+def _lattice_eval(one_point: Callable, T_grid, logp_grid,
+                  mesh: Optional[jax.sharding.Mesh]) -> jnp.ndarray:
+    """Evaluate ``one_point(T, logp) -> [...]`` over the (nT, nQ) lattice.
+
+    Serial path: one jitted vmap batch per T row (bounded memory).
+    Mesh path: the FLATTENED lattice is sharded over the mesh's devices and
+    each device sweeps its own points with ``lax.map`` — the TPU-native
+    replacement for the reference's multiprocessing ``makeLUT*`` pool
+    (SURVEY.md 4.3): every chip builds an equal slice of the lattice, and
+    the gather back to host is the only cross-device traffic.
+    """
+    nT, nQ = T_grid.shape[0], logp_grid.shape[0]
+    if mesh is None:
+        one_row = jax.jit(jax.vmap(one_point, in_axes=(None, 0), out_axes=0))
+        rows = [one_row(T_grid[ti], logp_grid) for ti in range(nT)]
+        return jnp.stack(rows, axis=0)            # [nT, nQ, ...]
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard_map = jax.shard_map
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    Tf = jnp.repeat(T_grid, nQ)                   # [nT*nQ]
+    Qf = jnp.tile(logp_grid, nT)
+    n_pts = Tf.shape[0]
+    n_pad = (-n_pts) % n_dev
+    Tf = jnp.concatenate([Tf, jnp.full((n_pad,), T_grid[0], Tf.dtype)])
+    Qf = jnp.concatenate([Qf, jnp.full((n_pad,), logp_grid[0], Qf.dtype)])
+
+    def local_sweep(Tl, Ql):
+        return jax.lax.map(lambda tq: one_point(tq[0], tq[1]), (Tl, Ql))
+
+    f = jax.jit(shard_map(local_sweep, mesh=mesh,
+                          in_specs=(P(axis), P(axis)), out_specs=P(axis),
+                          check_vma=False))
+    sharding = NamedSharding(mesh, P(axis))
+    out = f(jax.device_put(Tf, sharding), jax.device_put(Qf, sharding))
+    return out[:n_pts].reshape((nT, nQ) + out.shape[1:])
+
+
+def lut_mesh(n_devices: Optional[int] = None) -> jax.sharding.Mesh:
+    """A 1-D mesh over (the first n) local devices for the lattice build."""
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return jax.sharding.Mesh(np.asarray(devs), ("lut_pt",))
+
+
 def build_lut(
     nu_grid: jnp.ndarray,
     lines: DeviceLines,
@@ -81,9 +129,12 @@ def build_lut(
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> OpacityLUT:
     """Build the table with the direct line-sum machinery (jit-batched over
-    the (T, p) lattice; species separated by masking amplitudes)."""
+    the (T, p) lattice; species separated by masking amplitudes).  Pass
+    ``mesh`` (e.g. :func:`lut_mesh`) to shard the lattice build over
+    devices."""
     S = n_species
     vs = np.ones(S) if vmr_self is None else np.asarray(vmr_self, dtype=float)
     T_grid = jnp.linspace(T_min, T_max, n_T)
@@ -102,12 +153,8 @@ def build_lut(
             outs.append(sa)
         return jnp.stack(outs)                    # [S, P]
 
-    # The reference builds its LUT with a multiprocessing pool (SURVEY.md
-    # 4.3); here the pressure column is one on-device vmap batch per T row
-    # (bounded memory: nQ x S x P per step).
-    one_row = jax.jit(jax.vmap(one_point, in_axes=(None, 0), out_axes=1))
-    rows = [one_row(T_grid[ti], logp_grid) for ti in range(n_T)]
-    sigma = jnp.stack(rows, axis=1)               # [S, nT, nQ, P]
+    tbl = _lattice_eval(one_point, T_grid, logp_grid, mesh)  # [nT, nQ, S, P]
+    sigma = jnp.moveaxis(tbl, 2, 0)               # [S, nT, nQ, P]
     return OpacityLUT(nu_grid=nu_grid, T_grid=T_grid, logp_grid=logp_grid,
                       sigma=sigma, vmr_self=jnp.asarray(vs, dt))
 
@@ -152,12 +199,30 @@ def layer_tau_lut(lut: OpacityLUT, cg) -> jnp.ndarray:
     return per_ray(cg.u, cg.T_sp, cg.p_sp)
 
 
-def save_lut(lut: OpacityLUT, path: str) -> None:
+def lut_fingerprint(nu_grid, lines: DeviceLines, **lattice) -> str:
+    """Content hash keying a persisted LUT to its inputs: the staged line
+    list, the wavenumber grid, and every lattice/build parameter.  A stale
+    file (different lines, grid, or lattice) misses the cache and is
+    rebuilt — the reference's pickle LUTs have no such guard [SURVEY.md 4.3].
+    """
+    h = hashlib.sha256()
+    for f in ("nu0", "sw", "elower", "gamma_air", "gamma_self", "n_air",
+              "delta_air", "mass_amu", "species_idx", "level_upper",
+              "level_lower", "nu_ref"):
+        h.update(np.ascontiguousarray(np.asarray(getattr(lines, f))).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(nu_grid)).tobytes())
+    for k in sorted(lattice):
+        h.update(f"{k}={lattice[k]!r};".encode())
+    return h.hexdigest()
+
+
+def save_lut(lut: OpacityLUT, path: str, fingerprint: str = "") -> None:
     np.savez_compressed(path, nu_grid=np.asarray(lut.nu_grid),
                         T_grid=np.asarray(lut.T_grid),
                         logp_grid=np.asarray(lut.logp_grid),
                         sigma=np.asarray(lut.sigma),
-                        vmr_self=np.asarray(lut.vmr_self))
+                        vmr_self=np.asarray(lut.vmr_self),
+                        fingerprint=np.asarray(fingerprint))
 
 
 def load_lut(path: str) -> OpacityLUT:
@@ -167,6 +232,34 @@ def load_lut(path: str) -> OpacityLUT:
                           logp_grid=jnp.asarray(z["logp_grid"]),
                           sigma=jnp.asarray(z["sigma"]),
                           vmr_self=jnp.asarray(z["vmr_self"]))
+
+
+def stored_fingerprint(path: str) -> str:
+    """Fingerprint recorded in a persisted LUT file ('' if absent)."""
+    if not os.path.exists(path):
+        return ""
+    with np.load(path) as z:
+        return str(z["fingerprint"]) if "fingerprint" in z.files else ""
+
+
+def get_or_build_lut(path: str, nu_grid, lines: DeviceLines, n_species: int,
+                     *, nlte: bool = False,
+                     mesh: Optional[jax.sharding.Mesh] = None, **lattice):
+    """Load the LUT at ``path`` if its fingerprint matches the current
+    inputs; otherwise (re)build and persist it.  Returns (lut, was_cached).
+    With ``path=''`` always builds in memory (no persistence)."""
+    fp = lut_fingerprint(nu_grid, lines, nlte=nlte, **lattice)
+    if path and stored_fingerprint(path) == fp:
+        return (load_nlte_lut(path) if nlte else load_lut(path)), True
+    if nlte:
+        lut = build_nlte_lut(nu_grid, lines, n_species, mesh=mesh, **lattice)
+        if path:
+            save_nlte_lut(lut, path, fingerprint=fp)
+    else:
+        lut = build_lut(nu_grid, lines, n_species, mesh=mesh, **lattice)
+        if path:
+            save_lut(lut, path, fingerprint=fp)
+    return lut, False
 
 
 # ---------------------------------------------------------------------------
@@ -229,11 +322,13 @@ def build_nlte_lut(
     variant: str = "humlicek4",
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> NLTELUT:
     """Build the three per-group tables in ONE line sum per lattice point:
     the Voigt basis is shared across all 3G amplitude rows (an MXU
     contraction), so the build costs the same line-shape work as the LTE
-    tier regardless of the number of levels."""
+    tier regardless of the number of levels.  ``mesh`` shards the lattice
+    build over devices (:func:`lut_mesh`)."""
     from spectrobot_tpu.ops.opacity import KernelLines, accumulate_jnp, line_kernel_inputs
 
     S = n_species
@@ -265,9 +360,7 @@ def build_nlte_lut(
                              cutoff_cm1=cutoff_cm1)        # [3G, P]
         return out.reshape(3, G, -1)
 
-    one_row = jax.jit(jax.vmap(one_point, in_axes=(None, 0), out_axes=0))
-    rows = [one_row(T_grid[ti], logp_grid) for ti in range(n_T)]
-    tbl = jnp.stack(rows, axis=0)                 # [nT, nQ, 3, G, P]
+    tbl = _lattice_eval(one_point, T_grid, logp_grid, mesh)  # [nT, nQ, 3, G, P]
     tbl = jnp.moveaxis(tbl, (2, 3), (0, 1))       # [3, G, nT, nQ, P]
     return NLTELUT(nu_grid=nu_grid, T_grid=T_grid, logp_grid=logp_grid,
                    sigma_l=tbl[0], sigma_u=tbl[1], sigma_e=tbl[2],
@@ -325,9 +418,10 @@ def layer_tau_nlte_lut(lut: NLTELUT, cg, nlte=None):
     return per_ray(cg.u, cg.T_sp, cg.p_sp, cg.T_air, lay_ids)
 
 
-def save_nlte_lut(lut: NLTELUT, path: str) -> None:
-    np.savez_compressed(path, **{f: np.asarray(getattr(lut, f))
-                                 for f in NLTELUT._fields})
+def save_nlte_lut(lut: NLTELUT, path: str, fingerprint: str = "") -> None:
+    np.savez_compressed(path, fingerprint=np.asarray(fingerprint),
+                        **{f: np.asarray(getattr(lut, f))
+                           for f in NLTELUT._fields})
 
 
 def load_nlte_lut(path: str) -> NLTELUT:

@@ -73,3 +73,63 @@ def test_lut_round_trip(tmp_path):
     np.testing.assert_allclose(np.asarray(lut2.sigma), np.asarray(lut.sigma))
     got = interp_sigma(lut2, 210.0, 20.0)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_get_or_build_cache_hit_and_invalidation(tmp_path):
+    """VERDICT.md round-1 item 5: persisted LUTs are keyed to a fingerprint
+    of (line list, grid, lattice); a matching file skips the rebuild, any
+    input change misses and rebuilds."""
+    from spectrobot_tpu.ops.lut import get_or_build_lut
+
+    dl = device_lines_from_linelist(co2_15um_band(j_max=12), [(2, 1)],
+                                    dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(660.0, 674.0, 200))
+    path = str(tmp_path / "lut_cache.npz")
+    lattice = dict(T_min=140.0, T_max=280.0, n_T=7, p_min=1e-2, p_max=1e3,
+                   n_p=9, vmr_self=[0.95], chunk=128)
+    lut1, cached1 = get_or_build_lut(path, nu, dl, 1, **lattice)
+    assert not cached1
+    lut2, cached2 = get_or_build_lut(path, nu, dl, 1, **lattice)
+    assert cached2
+    np.testing.assert_allclose(np.asarray(lut2.sigma), np.asarray(lut1.sigma))
+    # Any lattice change invalidates ...
+    _, cached3 = get_or_build_lut(path, nu, dl, 1,
+                                  **{**lattice, "n_T": 8})
+    assert not cached3
+    # ... and so does a different line list (here: different nu_ref).
+    dl2 = device_lines_from_linelist(co2_15um_band(j_max=12), [(2, 1)],
+                                     dtype=jnp.float64, nu_ref=0.0)
+    _, cached4 = get_or_build_lut(path, nu, dl2, 1, **{**lattice, "n_T": 8})
+    assert not cached4
+
+
+def test_mesh_build_matches_serial():
+    """The lattice build sharded over the 8 emulated devices is identical to
+    the serial build (the TPU-native makeLUT* pool, SURVEY.md 4.3)."""
+    from spectrobot_tpu.ops.lut import lut_mesh
+
+    dl = device_lines_from_linelist(co2_15um_band(j_max=12), [(2, 1)],
+                                    dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(660.0, 674.0, 200))
+    lattice = dict(T_min=140.0, T_max=280.0, n_T=5, p_min=1e-2, p_max=1e3,
+                   n_p=6, vmr_self=[0.95], chunk=128)
+    assert len(jax.devices()) == 8
+    lut_s = build_lut(nu, dl, n_species=1, **lattice)
+    lut_m = build_lut(nu, dl, n_species=1, mesh=lut_mesh(), **lattice)
+    np.testing.assert_allclose(np.asarray(lut_m.sigma),
+                               np.asarray(lut_s.sigma), rtol=1e-12)
+
+
+def test_mesh_build_nlte_matches_serial():
+    from spectrobot_tpu.ops.lut import build_nlte_lut, lut_mesh
+
+    dl = device_lines_from_linelist(co2_15um_band(j_max=12), [(2, 1)],
+                                    dtype=jnp.float64)
+    nu = jnp.asarray(np.linspace(660.0, 674.0, 120))
+    lattice = dict(T_min=140.0, T_max=280.0, n_T=4, p_min=1e-2, p_max=1e3,
+                   n_p=5, vmr_self=[0.95], chunk=128)
+    lut_s = build_nlte_lut(nu, dl, n_species=1, **lattice)
+    lut_m = build_nlte_lut(nu, dl, n_species=1, mesh=lut_mesh(), **lattice)
+    for f in ("sigma_l", "sigma_u", "sigma_e"):
+        np.testing.assert_allclose(np.asarray(getattr(lut_m, f)),
+                                   np.asarray(getattr(lut_s, f)), rtol=1e-12)
