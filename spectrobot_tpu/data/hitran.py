@@ -201,7 +201,14 @@ def _parse_float_col(raw: np.ndarray) -> np.ndarray:
 
 
 def _attach_mass(cols: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Denormalise isotopologue mass per line for kernel consumption."""
+    """Denormalise isotopologue mass per line for kernel consumption.
+
+    Unknown (molecule, isotopologue) pairs FAIL LOUDLY (VERDICT.md round-1
+    item 6): a guessed mass silently corrupts every Doppler width of that
+    species, so it must never enter the kernel.  The registry covers the
+    full HITRAN numbering (1-55); a legitimate new isotopologue belongs in
+    :mod:`spectrobot_tpu.data.molparams`.
+    """
     mol_id = cols["mol_id"]
     iso_id = cols["iso_id"]
     n = len(mol_id)
@@ -210,10 +217,12 @@ def _attach_mass(cols: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         mol = MOLECULES.get(int(m))
         for i in np.unique(iso_id[mol_id == m]):
             sel = (mol_id == m) & (iso_id == i)
-            if mol is not None and int(i) in mol.isotopologues:
-                mass[sel] = mol.isotopologues[int(i)].mass_amu
-            else:
-                mass[sel] = 2.0 * float(m) + 16.0  # crude fallback, flagged in tests
+            if mol is None or int(i) not in mol.isotopologues:
+                raise KeyError(
+                    f"unknown HITRAN species: molecule {int(m)} "
+                    f"isotopologue {int(i)} ({int(sel.sum())} lines) — "
+                    f"register it in spectrobot_tpu.data.molparams")
+            mass[sel] = mol.isotopologues[int(i)].mass_amu
     cols["mass_amu"] = mass
     return cols
 

@@ -44,7 +44,8 @@ def test_doppler_width_formula():
     dl = _lines()
     T = 250.0
     ad = np.asarray(doppler_hwhm(dl, T))
-    m = 43.98983 * AMU
+    from spectrobot_tpu.data.molparams import MOLECULES
+    m = MOLECULES[2].isotopologues[1].mass_amu * AMU
     expect = np.asarray(dl.nu0_abs) / C_LIGHT * np.sqrt(2 * LN2 * K_BOLTZ * T / m)
     np.testing.assert_allclose(ad, expect, rtol=1e-12)
     # Magnitude sanity: CO2 at 667 cm-1, 250 K -> ~5.3e-4 cm-1
