@@ -150,7 +150,32 @@ def build_scene(cfg):
         W = jnp.asarray(ils_matrix(np.asarray(nu), chans,
                                    cfg.instrument.fwhm_cm1,
                                    cfg.instrument.shape), dtype)
-    return planet, atm, dl, species_names, nu, nu_off, W, chans, nlte
+    cia = _build_cia(cfg, nu, species_names, dtype) if cfg.cia.enabled else None
+    return planet, atm, dl, species_names, nu, nu_off, W, chans, nlte, cia
+
+
+def _build_cia(cfg, nu, species_names, dtype):
+    """[cia] config -> staged DeviceCIA (or None if no pair applies)."""
+    from spectrobot_tpu.ops.cia import demo_co2_cia, parse_cia_text, stage_cia
+
+    tables = []
+    for entry in cfg.cia.tables or ("demo:co2",):
+        if entry == "demo:co2":
+            tables.append(demo_co2_cia())
+            continue
+        pair, _, path = entry.partition(":")
+        a, _, b = pair.partition("-")
+        if not (a and b and path):
+            raise ValueError(f"cia.tables entry {entry!r} is neither "
+                             f"'demo:co2' nor 'A-B:<path>.cia'")
+        with open(path) as f:
+            tables.append(parse_cia_text(f.read(), a, b))
+    staged = stage_cia(nu, tables, species_names, dtype)
+    if staged is None:
+        import warnings
+        warnings.warn("cia.enabled is set but no table matches the scene "
+                      "species — continuum is OFF for this run")
+    return staged
 
 
 def _mesh_plan(cfg):
@@ -173,9 +198,10 @@ def cmd_forward(cfg) -> dict:
     from spectrobot_tpu.forward.limb import limb_radiance, nadir_radiance
     from spectrobot_tpu.ops.ils import apply_ils
 
-    planet, atm, dl, species_names, nu, nu_off, W, _chans, nlte = build_scene(cfg)
+    (planet, atm, dl, species_names, nu, nu_off, W, _chans, nlte,
+     cia) = build_scene(cfg)
     kw = dict(variant=cfg.compute.variant, cutoff_cm1=cfg.compute.cutoff_cm1,
-              chunk=cfg.compute.chunk, nu_off=nu_off)
+              chunk=cfg.compute.chunk, nu_off=nu_off, cia=cia)
     use_pallas = (cfg.compute.use_pallas
                   and jax.devices()[0].platform == "tpu")
 
@@ -186,6 +212,10 @@ def cmd_forward(cfg) -> dict:
         raise NotImplementedError(
             "mesh forward (compute.mesh_*) currently supports limb geometry "
             "only — leave the mesh axes at their defaults for nadir runs")
+    if cia is not None and use_mesh:
+        raise NotImplementedError(
+            "cia.enabled with compute.mesh_* is not wired yet — run the "
+            "continuum forward single-device or disable one of the two")
     t0 = time.time()
     if use_mesh and cfg.geometry.mode == "limb":
         from spectrobot_tpu.parallel.mesh import make_mesh
@@ -240,15 +270,17 @@ def cmd_forward(cfg) -> dict:
                 else "built"))
         if nlte is not None:
             dtau, dtau_em = layer_tau_nlte_lut(lut, cg, nlte)
-            I = jax.jit(lambda d, de: path_radiance(
-                optics_from_tau(nu, cg, d, de), cg, None))(dtau, dtau_em)
             print(f"LUT runtime forward (non-LTE per-level tables, {src})",
                   file=sys.stderr)
         else:
-            dtau = layer_tau_lut(lut, cg)
-            I = jax.jit(lambda d: path_radiance(
-                optics_from_tau(nu, cg, d, d), cg, None))(dtau)
+            dtau = dtau_em = layer_tau_lut(lut, cg)
             print(f"LUT runtime forward (LTE, {src})", file=sys.stderr)
+        if cia is not None:
+            from spectrobot_tpu.ops.cia import cia_dtau
+            dc = cia_dtau(cia, cg).astype(dtau.dtype)
+            dtau, dtau_em = dtau + dc, dtau_em + dc
+        I = jax.jit(lambda d, de: path_radiance(
+            optics_from_tau(nu, cg, d, de), cg, None))(dtau, dtau_em)
     elif cfg.geometry.mode == "limb":
         h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                           nu.dtype)
@@ -257,7 +289,7 @@ def cmd_forward(cfg) -> dict:
             from spectrobot_tpu.forward.limb import limb_radiance_pallas
             I = limb_radiance_pallas(nu, dl, cg, nlte,
                                      cutoff_cm1=cfg.compute.cutoff_cm1,
-                                     nu_off=nu_off)
+                                     nu_off=nu_off, cia=cia)
         else:
             I = jax.jit(lambda: limb_radiance(nu, dl, cg, nlte, **kw))()
     else:
@@ -271,7 +303,7 @@ def cmd_forward(cfg) -> dict:
                 (len(cfg.geometry.sec_theta), nu.shape[0]))
             I = limb_radiance_pallas(nu, dl, cg, nlte, I_background=I_bg,
                                      cutoff_cm1=cfg.compute.cutoff_cm1,
-                                     nu_off=nu_off)
+                                     nu_off=nu_off, cia=cia)
         else:
             I = jax.jit(lambda: nadir_radiance(nu, dl, cg,
                                                cfg.geometry.t_surface,
@@ -330,7 +362,8 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     from spectrobot_tpu.utils.checkpoint import Checkpointer
     from spectrobot_tpu.utils.runlog import RunLogger
 
-    planet, atm, dl, species_names, nu, nu_off, W, chans, nlte = build_scene(cfg)
+    (planet, atm, dl, species_names, nu, nu_off, W, chans, nlte,
+     cia) = build_scene(cfg)
     h_t = jnp.asarray([h * 1e3 for h in cfg.geometry.tangent_heights_km],
                       nu.dtype) if cfg.geometry.mode == "limb" else None
     sec = (None if cfg.geometry.mode == "limb"
@@ -351,6 +384,10 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     x0, unravel = flatten_state(state0)
 
     use_mesh, mesh_shape = _mesh_plan(cfg)
+    if use_mesh and cia is not None:
+        raise NotImplementedError(
+            "cia.enabled with compute.mesh_* is not wired yet — run the "
+            "continuum retrieval single-device or disable one of the two")
     oe_sharded = None
     if use_mesh:
         # Distributed retrieval (C26 + C16, parallel/oe.py): sharded forward,
@@ -383,7 +420,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
             sec_theta=sec, T_surface=cfg.geometry.t_surface, ils_W=W,
             nlte=nlte, n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
             cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
-            nu_off=nu_off, engine=engine)
+            nu_off=nu_off, engine=engine, cia=cia)
         fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
         jac = _make_jacobian(cfg, fwd_flat, x0, nu, W, h_t)
 

@@ -58,6 +58,19 @@ class NLTEConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CIAConfig:
+    """Collision-induced / continuum absorption (ops/cia.py).
+
+    ``tables`` entries are either "demo:co2" (the built-in synthetic
+    CO2-CO2 demo) or "A-B:<path>.cia" — a HITRAN-format CIA file for the
+    species pair A, B (both must be in scene.species to take effect).
+    """
+
+    enabled: bool = False
+    tables: Tuple[str, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
 class GeometryConfig:
     mode: str = "limb"                  # "limb" | "nadir"
     tangent_heights_km: Tuple[float, ...] = (10.0, 20.0, 30.0, 40.0)
@@ -124,6 +137,7 @@ class Config:
     scene: SceneConfig = SceneConfig()
     lines: LinesConfig = LinesConfig()
     nlte: NLTEConfig = NLTEConfig()
+    cia: CIAConfig = CIAConfig()
     geometry: GeometryConfig = GeometryConfig()
     instrument: InstrumentConfig = InstrumentConfig()
     compute: ComputeConfig = ComputeConfig()

@@ -43,6 +43,17 @@ class PathCG(NamedTuple):
     seg_layer: jnp.ndarray    # [n_seg] int32, observer-first layer index
     seg_count: int            # static: number of segments
     is_limb: bool             # static: limb (2 crossings/layer) vs nadir (1)
+    # Continuum/CIA support (C-CIA, VERDICT.md round-1 item 7):
+    u_air: jnp.ndarray = None   # [R, NL] one-side AIR column [molec m^-2]
+    uu_air: jnp.ndarray = None  # [R, NL] int n_air^2 ds, SCALED by UU_SCALE
+                                #   (exact power of two; n^2 ~ 1e50 /m^5
+                                #   overflows float32 unscaled)
+
+
+# Exact power-of-two scale carried by PathCG.uu_air: (2^-83)^2 applied at the
+# sample level keeps (n * 2^-83)^2 ~ O(1) in float32; CIA tables fold the
+# inverse scale into their staged coefficients (ops/cia.py).
+UU_SCALE = 2.0 ** -166
 
 
 def _layer_samples_limb(z_lev, r_t, radius, n_sub):
@@ -96,6 +107,10 @@ def _cg_from_samples(atm: Atmosphere, species: Sequence[str], z_k, w):
     air_ok = n_air_col > 0
     T_air = jnp.sum(T * n * w_s, axis=-1) / jnp.where(air_ok, n_air_col, 1.0)
     T_air = jnp.where(air_ok, T_air, 200.0)
+    u_air = n_air_col * (1.0 / CG_SCALE)               # [NL] molec m^-2
+    # CIA path integral: int n^2 ds, scaled (n*2^-83)^2 * w -> UU_SCALE units.
+    n_s = n * CG_SCALE
+    uu_air = jnp.sum(n_s * n_s * w, axis=-1)           # [NL], x UU_SCALE
 
     us, Ts, ps, pss, oks = [], [], [], [], []
     for name in species:
@@ -115,7 +130,7 @@ def _cg_from_samples(atm: Atmosphere, species: Sequence[str], z_k, w):
     T_sp = jnp.where(ok, stack(Ts), 200.0)
     p_sp = jnp.where(ok, stack(ps), 1.0)
     p_self_sp = jnp.where(ok, stack(pss), 0.0)
-    return u, T_sp, p_sp, p_self_sp, T_air
+    return u, T_sp, p_sp, p_self_sp, T_air, u_air, uu_air
 
 
 def limb_path_cg(
@@ -138,12 +153,13 @@ def limb_path_cg(
         z_k, w = _layer_samples_limb(atm.z, radius + h_t, radius, n_sub)
         return _cg_from_samples(atm, species, z_k, w)
 
-    u, T_sp, p_sp, p_self_sp, T_air = jax.vmap(one_ray)(tangent_heights_m)
+    u, T_sp, p_sp, p_self_sp, T_air, u_air, uu_air = jax.vmap(one_ray)(
+        tangent_heights_m)
     seg_layer = np.concatenate([np.arange(n_lay)[::-1], np.arange(n_lay)])
     return PathCG(
         u=u, T_sp=T_sp, p_sp=p_sp, p_self_sp=p_self_sp, T_air=T_air,
         seg_layer=jnp.asarray(seg_layer, dtype=jnp.int32),
-        seg_count=2 * n_lay, is_limb=True,
+        seg_count=2 * n_lay, is_limb=True, u_air=u_air, uu_air=uu_air,
     )
 
 
@@ -162,10 +178,11 @@ def nadir_path_cg(
         z_k, w = _layer_samples_nadir(atm.z, sec, n_sub)
         return _cg_from_samples(atm, species, z_k, w)
 
-    u, T_sp, p_sp, p_self_sp, T_air = jax.vmap(one_ray)(sec_theta)
+    u, T_sp, p_sp, p_self_sp, T_air, u_air, uu_air = jax.vmap(one_ray)(
+        sec_theta)
     seg_layer = np.arange(n_lay)[::-1]
     return PathCG(
         u=u, T_sp=T_sp, p_sp=p_sp, p_self_sp=p_self_sp, T_air=T_air,
         seg_layer=jnp.asarray(seg_layer, dtype=jnp.int32),
-        seg_count=n_lay, is_limb=False,
+        seg_count=n_lay, is_limb=False, u_air=u_air, uu_air=uu_air,
     )
