@@ -323,6 +323,37 @@ def cmd_forward(cfg) -> dict:
             "output": out_path, "n_lines": dl.n_lines}
 
 
+def _check_obs_consistency(cfg, obs, chans, n_chan):
+    """A loaded observation must match the CONFIGURED forward geometry and
+    channel grid — a silent mismatch would fit real data with the wrong
+    forward model, so every discrepancy names the config key to fix."""
+    if cfg.geometry.mode == "limb":
+        got = (None if obs.tangent_heights_m is None
+               else np.asarray(obs.tangent_heights_m) / 1e3)
+        want = np.asarray(cfg.geometry.tangent_heights_km, dtype=float)
+        what = "geometry.tangent_heights_km"
+    else:
+        got = None if obs.sec_theta is None else np.asarray(obs.sec_theta)
+        want = np.asarray(cfg.geometry.sec_theta, dtype=float)
+        what = "geometry.sec_theta"
+    if got is not None and (got.shape != want.shape
+                            or not np.allclose(got, want, rtol=1e-6)):
+        raise ValueError(
+            f"observation file {cfg.retrieval.obs_path!r} has "
+            f"{what.split('.')[1]} {np.round(got, 3).tolist()} but the "
+            f"config requests {want.tolist()} — set {what} to match the "
+            f"file (the forward model is built from the config)")
+    if obs.n_chan != n_chan or not np.allclose(
+            np.asarray(obs.nu_channels), np.asarray(chans), rtol=0, atol=1e-6):
+        raise ValueError(
+            f"observation file {cfg.retrieval.obs_path!r} has {obs.n_chan} "
+            f"channels on [{float(obs.nu_channels[0]):.3f}, "
+            f"{float(obs.nu_channels[-1]):.3f}] cm-1 but the configured "
+            f"instrument produces {n_chan} on [{float(chans[0]):.3f}, "
+            f"{float(chans[-1]):.3f}] — adjust instrument.n_channels / "
+            f"chan_min / chan_max (or grid.*) to match the file")
+
+
 def _make_jacobian(cfg, fwd_flat, x0, nu, W, h_t):
     """Jacobian callable with the HBM memory guard (VERDICT r1 item 9):
     plain ``jacfwd`` carries an (n_x x n_y)-sized tangent batch through the
@@ -444,7 +475,9 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
                                      chans, 0.0)
         obs.sigma[:] = noise
     elif cfg.retrieval.obs_path:
-        obs = Observation.load_npz(cfg.retrieval.obs_path)
+        # .npz round-trip or campaign-style text table (obs.load_table).
+        obs = Observation.load(cfg.retrieval.obs_path)
+        _check_obs_consistency(cfg, obs, chans, n_chan)
     else:
         # Self-test mode: synthesise observations from a truth that perturbs
         # every retrieved quantity.

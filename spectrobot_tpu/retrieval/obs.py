@@ -89,6 +89,95 @@ class Observation:
                 sec_theta=z.get("sec_theta"))
 
     @staticmethod
+    def load(path: str) -> "Observation":
+        """Auto-dispatching loader: ``.npz`` (save_npz round-trip) or a
+        campaign-style text table (``.csv``/``.txt``/``.dat``/``.tbl`` —
+        see :meth:`load_table`)."""
+        if path.endswith(".npz"):
+            return Observation.load_npz(path)
+        return Observation.load_table(path)
+
+    @staticmethod
+    def load_table(path: str) -> "Observation":
+        """Read a campaign-style TEXT observation table (VERDICT.md round-1
+        item 8 — pointing the framework at real data needs no code).
+
+        Format: one sample per row, comma- or whitespace-separated, in
+        "tidy" (long) layout::
+
+            # geometry = limb            (or: nadir)
+            # columns: geom nu radiance sigma [mask]
+            8.0   660.125  1.23e-2  1.0e-4
+            8.0   660.375  1.21e-2  1.0e-4
+            25.0  660.125  4.02e-3  1.0e-4
+
+        * column 1 (``geom``): tangent height [km] for limb geometry, or
+          sec(zenith angle) for nadir (declared by a ``# geometry =`` header
+          comment; default limb);
+        * column 2: channel wavenumber [cm-1];
+        * columns 3/4: radiance and noise sigma (any consistent radiance
+          units — the retrieval is unit-agnostic as long as the forward
+          model matches);
+        * optional column 5: 0/1 mask (1 = use the channel).
+
+        Rows may arrive in any order; rays are the sorted unique geometry
+        values and channels the sorted unique wavenumbers.  (ray, channel)
+        combinations absent from the file are masked out — ragged campaign
+        coverage maps onto the static-shape mask representation.
+        """
+        geometry = "limb"
+        rows = []
+        with open(path) as f:
+            for ln in f:
+                s = ln.strip()
+                if not s:
+                    continue
+                if s.startswith("#"):
+                    key, _, val = s[1:].partition("=")
+                    if key.strip().lower() == "geometry":
+                        geometry = val.strip().lower()
+                    continue
+                parts = s.replace(",", " ").split()
+                rows.append([float(p) for p in parts])
+        if not rows:
+            raise ValueError(f"no data rows in observation table {path!r}")
+        n_cols = len(rows[0])
+        if n_cols not in (4, 5) or any(len(r) != n_cols for r in rows):
+            raise ValueError(
+                f"observation table {path!r} needs 4 or 5 columns "
+                f"(geom nu radiance sigma [mask]); got {n_cols}")
+        data = np.asarray(rows, dtype=np.float64)
+        geoms = np.unique(data[:, 0])
+        chans = np.unique(data[:, 1])
+        gi = np.searchsorted(geoms, data[:, 0])
+        ci = np.searchsorted(chans, data[:, 1])
+        shape = (geoms.size, chans.size)
+        y = np.zeros(shape)
+        sigma = np.full(shape, _BIG_SIGMA)
+        mask = np.zeros(shape, dtype=bool)
+        y[gi, ci] = data[:, 2]
+        sigma[gi, ci] = data[:, 3]
+        mask[gi, ci] = (data[:, 4] > 0.5) if n_cols == 5 else True
+        kw = (dict(tangent_heights_m=geoms * 1e3) if geometry == "limb"
+              else dict(sec_theta=geoms))
+        return Observation(y=y, sigma=sigma, mask=mask, nu_channels=chans,
+                           **kw)
+
+    def save_table(self, path: str) -> None:
+        """Write the text-table format of :meth:`load_table`."""
+        geom = (self.tangent_heights_m / 1e3
+                if self.tangent_heights_m is not None else self.sec_theta)
+        mode = "limb" if self.tangent_heights_m is not None else "nadir"
+        with open(path, "w") as f:
+            f.write(f"# geometry = {mode}\n")
+            f.write("# columns: geom nu radiance sigma mask\n")
+            for i in range(self.n_ray):
+                for j in range(self.n_chan):
+                    f.write(f"{geom[i]:.6f} {self.nu_channels[j]:.6f} "
+                            f"{self.y[i, j]:.8e} {self.sigma[i, j]:.8e} "
+                            f"{int(self.mask[i, j])}\n")
+
+    @staticmethod
     def synthesize(y_clean: np.ndarray, nu_channels: np.ndarray,
                    noise_sigma: float, seed: int = 0,
                    tangent_heights_m: Optional[np.ndarray] = None,

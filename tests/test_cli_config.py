@@ -372,3 +372,62 @@ retrieve_temperature = false
 """)
     with pytest.raises(ValueError, match="nothing to retrieve"):
         main(["retrieve", str(cfg)])
+
+
+def test_cli_retrieve_from_obs_table(tmp_path, capsys):
+    """End-to-end VERDICT.md round-1 item 8: forward -> dump a campaign-style
+    text table -> retrieve from that file through retrieval.obs_path."""
+    import numpy as np
+    from spectrobot_tpu.cli import main
+    from spectrobot_tpu.retrieval.obs import Observation
+
+    base = f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 160
+[scene]
+n_levels = 6
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [8.0, 25.0]
+n_sub = 2
+[instrument]
+enabled = true
+fwhm_cm1 = 0.4
+n_channels = 40
+[compute]
+dtype = "float64"
+chunk = 128
+[retrieval]
+max_iter = 8
+obs_path = "{tmp_path}/obs.txt"
+[run]
+output_dir = "{tmp_path}/out"
+"""
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(base)
+    # Synthesise the "campaign file" from a perturbed-truth forward run.
+    rc = main(["forward", str(cfg), "-o", "scene.n_levels=6"])
+    assert rc == 0
+    fwd = np.load(str(tmp_path / "out" / "forward.npz"))
+    nu_chan = np.linspace(660.0 + 2 * 0.4, 674.0 - 2 * 0.4, 40)
+    rng = np.random.default_rng(1)
+    y = fwd["radiance"] * (1.0 + 0.02 * rng.standard_normal(
+        fwd["radiance"].shape))
+    obs = Observation(
+        y=y, sigma=np.full_like(y, 0.01 * float(y.max())),
+        mask=np.ones(y.shape, dtype=bool), nu_channels=nu_chan,
+        tangent_heights_m=np.array([8e3, 25e3]))
+    obs.save_table(str(tmp_path / "obs.txt"))
+
+    rc = main(["retrieve", str(cfg)])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["converged"] is True
+
+    # A mismatched geometry in the config fails LOUDLY, naming the key.
+    import pytest
+    with pytest.raises(ValueError, match="tangent_heights_km"):
+        main(["retrieve", str(cfg), "-o",
+              "geometry.tangent_heights_km=8.0,30.0"])
