@@ -75,6 +75,41 @@ def main() -> None:
     h_t = jnp.asarray(np.linspace(6e3, 80e3, args.rays), dtype)
     cg = limb_path_cg(atm, ["CO2"], h_t, MARS, n_sub=2)
 
+    def timeit(fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / args.reps
+
+    # --- Sharded-path overhead on the DEGENERATE 1-device mesh -----------
+    # Measurable even with one chip (VERDICT.md round-1 weak item 3): the
+    # 1-device mesh still executes the full shard_map program — line psum,
+    # halo plumbing, sharded layouts — so (t_mesh / t_plain - 1) bounds the
+    # framework-side collective overhead, separating it from real ICI time
+    # once multi-chip hardware is available.
+    from spectrobot_tpu.forward.limb import limb_radiance
+    P1 = args.points_per_device
+    nu1_host = np.linspace(600.0, 740.0, P1)
+    nu1 = jnp.asarray(nu1_host, dtype)
+    nu1_off = jnp.asarray(nu1_host - float(dl.nu_ref), dtype)
+    plain = jax.jit(lambda: limb_radiance(nu1, dl, cg, chunk=256,
+                                          nu_off=nu1_off))
+    t_plain = timeit(plain)
+    mesh1 = make_mesh((1, 1, 1), devices[:1])
+    f1 = sharded_radiance_fn(mesh1, has_nlte=False, has_background=False,
+                             chunk=256)
+    nu_s1, lines_s1, cg_s1, _, _ = stage_sharded(mesh1, nu1, dl, cg)
+    t_mesh1 = timeit(lambda: f1(nu_s1, lines_s1, cg_s1, nu_off=nu1_off))
+    print(json.dumps({
+        "metric": "sharded_overhead_1dev",
+        "t_plain_s": round(t_plain, 4), "t_mesh_s": round(t_mesh1, 4),
+        "overhead_frac": round(t_mesh1 / t_plain - 1.0, 4),
+    }))
+    sys.stdout.flush()
+
     sizes = []
     n = 1
     while n <= n_max:

@@ -511,6 +511,22 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     if oe_sharded is not None:
         oe_sharded.bind_observation(y_obs, noise_flat)
         normal_eqs = oe_sharded.normal_eqs
+    state_check = None
+    if ret_T:
+        from spectrobot_tpu.data import tips
+
+        def state_check(x, _lo=float(tips.T_GRID[0]),
+                        _hi=float(tips.T_GRID[-1])):
+            # The T block leads the flat state (ravel_pytree key order).
+            T = np.asarray(x[:n_lev])
+            if T.min() < _lo or T.max() > _hi:
+                return (f"retrieved temperature "
+                        f"[{T.min():.0f}, {T.max():.0f}] K left the "
+                        f"partition-sum table range [{_lo:.0f}, {_hi:.0f}] K"
+                        f" — Q(T) is CLAMPED there; tighten the prior "
+                        f"(retrieval.sigma_T) or check the observations")
+            return None
+
     res = retrieve(
         fwd_flat, jac, jnp.asarray(y_obs), x0, x0, S_a,
         jnp.asarray(noise_flat),
@@ -518,7 +534,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
                  lm_lambda0=cfg.retrieval.lm_lambda0,
                  chi2_rel_tol=cfg.retrieval.chi2_rel_tol),
         logger=logger, checkpointer=Checkpointer(ck_dir),
-        normal_eqs=normal_eqs)
+        normal_eqs=normal_eqs, state_check=state_check)
 
     out_path = os.path.join(cfg.run.output_dir, "retrieval.npz")
     np.savez(out_path, x=res.x, S_hat=res.S_hat, A_kernel=res.A_kernel,

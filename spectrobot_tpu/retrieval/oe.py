@@ -110,6 +110,7 @@ def retrieve(
     logger=None,
     checkpointer=None,
     normal_eqs=None,
+    state_check=None,
 ) -> RetrievalResult:
     """Run the OE/LM loop to convergence (config 5, BASELINE.json:11).
 
@@ -124,6 +125,12 @@ def retrieve(
     the host and never materialises K.  ``jacobian`` is still used ONCE
     after convergence for the posterior/averaging-kernel diagnostics (the
     sharded path passes its ICI all_gather Jacobian there).
+
+    state_check: optional x -> str | None, called on every ACCEPTED state;
+    a returned message is warned and logged ("physics_warning" record) but
+    does not stop the loop — the hook the CLI uses to flag LM steps that
+    walk the temperature outside the partition-sum table range, where the
+    device path clamps silently (VERDICT.md round-1 weak item 5).
     """
     inv_se = np.asarray(1.0 / np.asarray(noise_sigma, np.float64) ** 2)
     S_a = np.asarray(S_a, np.float64)
@@ -188,6 +195,13 @@ def retrieve(
         if accepted:
             rel = (chi2 - chi2_try) / max(chi2, 1e-300)
             x, F, chi2 = x_try, F_try, chi2_try
+            if state_check is not None:
+                msg = state_check(x)
+                if msg:
+                    import warnings
+                    warnings.warn(msg, stacklevel=2)
+                    if logger is not None:
+                        logger.log({"iteration": it, "physics_warning": msg})
             lam = max(lam * cfg.lm_down, 1e-12)
             if checkpointer is not None:
                 checkpointer.save(it, x=np.asarray(x), lam=lam,
