@@ -28,7 +28,6 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax.sharding import Mesh
 
 from spectrobot_tpu.data.atmosphere import Atmosphere, Planet
@@ -40,7 +39,8 @@ from spectrobot_tpu.parallel.retrieval import (
     allgather_jacobian, sharded_normal_equations,
 )
 from spectrobot_tpu.parallel.sharded import (
-    pad_lines_for_mesh, sharded_radiance_fn, stage_sharded,
+    pad_lines_for_mesh, partition_lines_by_nu, sharded_radiance_fn,
+    stage_sharded,
 )
 from spectrobot_tpu.retrieval.state import apply_state
 
@@ -86,10 +86,11 @@ def make_sharded_oe(
     nu_grid: jnp.ndarray,
     species: Sequence[str],
     planet: Planet,
-    tangent_heights_m: jnp.ndarray,
+    tangent_heights_m: Optional[jnp.ndarray] = None,
     *,
     state_template: Dict,
     ils_W: Optional[jnp.ndarray] = None,
+    fov_V: Optional[jnp.ndarray] = None,
     nlte: Optional[DeviceNLTE] = None,
     n_sub: int = 4,
     variant: str = "humlicek4",
@@ -97,6 +98,13 @@ def make_sharded_oe(
     chunk: int = 256,
     nu_off: Optional[jnp.ndarray] = None,
     unravel=None,
+    engine: str = "jnp",
+    interpret: bool = False,
+    nu_halo: bool = False,
+    cia=None,
+    sec_theta: Optional[jnp.ndarray] = None,
+    T_surface=None,
+    emissivity: float = 1.0,
 ) -> ShardedOE:
     """Build the sharded retrieval callables for a limb scene.
 
@@ -104,7 +112,22 @@ def make_sharded_oe(
     flatten_state — the state pytree is REPLICATED (it is tiny); everything
     measurement-sized is sharded.  Shape contract (parallel/sharded.py):
     n_rays % mesh['ray'] == 0 and n_points % mesh['nu'] == 0; the line axis
-    is padded here.
+    is padded (or, with ``nu_halo``, owner-partitioned) here.
+
+    ``engine='pallas'`` runs the opacity stage — primal AND the fused
+    analytic-Jacobian basis — on the C5/C6 TPU kernel inside the shard_map
+    body (VERDICT.md round-2 item 1); ``interpret=True`` for CPU meshes.
+    ``nu_halo=True`` uses the owner-shard + ring-halo line distribution
+    (parallel/sharded.py module docstring).  ``cia`` (ops.cia.DeviceCIA)
+    adds the collision-induced continuum inside the mesh forward.
+
+    Geometry: limb when ``tangent_heights_m`` is given, NADIR when
+    ``sec_theta``/``T_surface`` are (VERDICT.md round-2 item 8 — 'ray'
+    shards pixels); ``state_template`` may carry "T_surface" to retrieve
+    it.  ``fov_V`` [n_obs, n_ray] smears the fine tangent-height ladder
+    into observed fields of view (C14) — like the ILS across 'nu', the FOV
+    mixes across the sharded 'ray' axis OUTSIDE the shard_map, so GSPMD
+    inserts the gather and the Jacobian row axes drop 'ray'.
     """
     if unravel is None:
         from spectrobot_tpu.retrieval.state import flatten_state
@@ -114,45 +137,79 @@ def make_sharded_oe(
         from jax.flatten_util import ravel_pytree
         n_x = int(ravel_pytree(state_template)[0].shape[0])
 
-    n_line_shards = mesh.shape["line"]
-    dlp = pad_lines_for_mesh(lines, n_line_shards)
+    if nu_halo:
+        dlp = partition_lines_by_nu(
+            lines, np.asarray(nu_grid), mesh.shape["nu"],
+            cutoff_cm1=cutoff_cm1, line_shards=mesh.shape["line"])
+    else:
+        dlp = pad_lines_for_mesh(lines, mesh.shape["line"])
+    is_limb = tangent_heights_m is not None
+    assert is_limb or sec_theta is not None, \
+        "pass tangent_heights_m (limb) or sec_theta (nadir)"
+    cia_pairs = None if cia is None else (cia.pair_a, cia.pair_b)
     fwd_sharded = sharded_radiance_fn(
-        mesh, has_nlte=nlte is not None, has_background=False,
-        variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk)
+        mesh, has_nlte=nlte is not None, has_background=not is_limb,
+        variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
+        engine=engine, interpret=interpret, nu_halo=nu_halo,
+        cia_pairs=cia_pairs, is_limb=is_limb, emissivity=emissivity)
     # Static inputs staged once with their mesh layout (cg placeholder is
     # discarded — the retrieval recomputes it from the state every call).
-    cg0 = limb_path_cg(base_atm, species, tangent_heights_m, planet, n_sub)
-    nu_s, lines_s, _, nlte_s, _ = stage_sharded(mesh, nu_grid, dlp, cg0,
-                                                nlte=nlte)
+    if is_limb:
+        cg0 = limb_path_cg(base_atm, species, tangent_heights_m, planet,
+                           n_sub)
+    else:
+        from spectrobot_tpu.forward.geometry import nadir_path_cg
+        cg0 = nadir_path_cg(base_atm, species, sec_theta, n_sub)
+    staged = stage_sharded(mesh, nu_grid, dlp, cg0, nlte=nlte, cia=cia)
+    nu_s, lines_s, _, nlte_s, _ = staged[:5]
+    cia_s = staged[5] if cia is not None else None
     if nu_off is None:
         nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
 
     def model(x):
         state = unravel(x)
         atm = apply_state(base_atm, state)
-        cg = limb_path_cg(atm, species, tangent_heights_m, planet, n_sub)
-        I = fwd_sharded(nu_s, lines_s, cg, nlte_s, nu_off=nu_off)  # [R, P]
+        if is_limb:
+            cg = limb_path_cg(atm, species, tangent_heights_m, planet, n_sub)
+            bg = None
+        else:
+            from spectrobot_tpu.forward.geometry import nadir_path_cg
+            from spectrobot_tpu.ops.planck import planck_nu
+            cg = nadir_path_cg(atm, species, sec_theta, n_sub)
+            ts = state.get("T_surface", T_surface)
+            bg = emissivity * planck_nu(nu_grid, ts)
+        I = fwd_sharded(nu_s, lines_s, cg, nlte_s, I_bg=bg, nu_off=nu_off,
+                        cia=cia_s)  # [R, P]
+        if fov_V is not None:
+            from spectrobot_tpu.ops.ils import apply_fov
+            I = apply_fov(I, fov_V)
         if ils_W is not None:
             # Mixes across the sharded nu axis — outside the shard_map, so
             # GSPMD inserts the reduce over nu shards automatically.
             I = apply_ils(I, ils_W)
         return I.reshape(-1)
 
-    # With ILS the channel axis is replicated, so Jacobian rows are sharded
-    # over 'ray' only; on the fine grid they carry both ('ray', 'nu').
-    row_axes = ("ray",) if ils_W is not None else ("ray", "nu")
+    # Jacobian rows keep the mesh axes their measurement layout still
+    # carries: the ILS mixes away 'nu', the FOV mixes away 'ray'.
+    row_axes = tuple(
+        ax for ax, mixed in (("ray", fov_V is not None),
+                             ("nu", ils_W is not None)) if not mixed)
     ne_fn = sharded_normal_equations(mesh, axes=row_axes)
     gather_fn = allgather_jacobian(mesh, axes=row_axes)
 
     def jac_columns(x):
-        """K [n_y, n_x]: linearise the sharded forward ONCE (the analytic
-        custom-JVP basis is tangent-independent, so it is computed a single
-        time), then scan the n_x unit tangents through the linear map —
-        scan, not vmap, because shard_map has no batching rule to vmap
-        over (same trick as __graft_entry__.dryrun_multichip round 1)."""
-        F, lin = jax.linearize(model, x)
+        """K [n_y, n_x]: vmap the n_x unit tangents through ONE jvp of the
+        sharded forward.  Primal-only computations stay unbatched under the
+        tangent vmap, so the analytic custom-JVP Voigt basis is evaluated
+        once for the whole Jacobian (primal out_axes=None asserts that), and
+        with engine='pallas' the custom_vmap rule of the fused tangent
+        kernel folds every column into the kernel's MXU row axis
+        (ops.opacity._make_tangent_pallas) — the round-2 fused-basis
+        economics now running THROUGH the mesh (VERDICT.md round-2 item 1;
+        vmap-over-shard_map batches the body, supported since JAX 0.9)."""
         eye = jnp.eye(n_x, dtype=x.dtype)
-        _, KT = lax.scan(lambda c, v: (None, lin(v)), None, eye)
+        F, KT = jax.vmap(lambda v: jax.jvp(model, (x,), (v,)),
+                         out_axes=(None, 0))(eye)
         return F, KT.T
 
     def _normal_eqs(x, y, inv_se):

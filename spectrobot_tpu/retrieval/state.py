@@ -72,6 +72,7 @@ def build_forward(
     analytic_jvp=True,  # True/"fwd" | "rev" | False (ops.opacity._ad_mode)
     nu_off: Optional[jnp.ndarray] = None,
     engine: str = "jnp",
+    interpret: bool = False,  # engine='pallas' on CPU (tests)
     cia=None,  # ops.cia.DeviceCIA: additive continuum (differentiable)
 ) -> Callable[[Dict], jnp.ndarray]:
     """Build F: state -> y.
@@ -85,7 +86,7 @@ def build_forward(
     """
     kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
               analytic_jvp=analytic_jvp, nu_off=nu_off, engine=engine,
-              cia=cia)
+              interpret=interpret, cia=cia)
 
     def forward(state: Dict) -> jnp.ndarray:
         atm = apply_state(base_atm, state)

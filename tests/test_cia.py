@@ -129,3 +129,36 @@ def test_cli_cia_config(tmp_path):
     assert cfg.cia.enabled and tuple(cfg.cia.tables) == ("demo:co2",)
     cfg2 = load_config(str(p), overrides={"cia.enabled": "false"})
     assert not cfg2.cia.enabled
+
+
+def test_cia_sharded_matches_single_device():
+    """CIA x mesh (VERDICT.md round-2 item 6): the continuum is additive
+    per (ray, layer, nu) with no line data, so its tables shard over 'nu'
+    and the sharded forward must match the single-device continuum forward
+    to f64 roundoff on the 8-device emulated mesh."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 emulated devices")
+    from spectrobot_tpu.forward.geometry import limb_path_cg as _lpc
+    from spectrobot_tpu.parallel.mesh import make_mesh
+    from spectrobot_tpu.parallel.sharded import (
+        pad_lines_for_mesh, sharded_radiance_fn, stage_sharded)
+
+    atm, dl, _ = _scene()
+    nu = jnp.asarray(np.linspace(660.0, 674.0, 256))
+    cg = limb_path_cg(atm, ["CO2"], jnp.asarray([8e3, 16e3, 24e3, 32e3]),
+                      MARS, 4)
+    tab = demo_co2_cia(nu_min=600.0, nu_max=700.0)
+    cia = stage_cia(nu, [tab], ["CO2"], dtype=jnp.float64)
+    ref = np.asarray(jax.jit(lambda: limb_radiance(nu, dl, cg, cia=cia))())
+
+    mesh = make_mesh((2, 2, 2))
+    dlp = pad_lines_for_mesh(dl, 2)
+    f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
+                            cia_pairs=(cia.pair_a, cia.pair_b))
+    nu_s, lines_s, cg_s, _, _, cia_s = stage_sharded(mesh, nu, dlp, cg,
+                                                     cia=cia)
+    got = np.asarray(f(nu_s, lines_s, cg_s, cia=cia_s))
+    np.testing.assert_allclose(got, ref, rtol=1e-10,
+                               atol=np.abs(ref).max() * 1e-12)

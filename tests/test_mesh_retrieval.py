@@ -56,14 +56,16 @@ def _single_device(scene, ils=True):
     return fwd_flat, jac, x0, state0
 
 
-def _sharded(scene, mesh_shape=(2, 2, 2), ils=True):
+def _sharded(scene, mesh_shape=(2, 2, 2), ils=True, engine="jnp",
+             nu_halo=False, cutoff_cm1=25.0):
     atm, dl, nu, h_t, W = scene
     mesh = make_mesh(mesh_shape, jax.devices()[: int(np.prod(mesh_shape))])
     state0 = make_state(atm, ["CO"])
     oe = make_sharded_oe(
         mesh, atm, dl, nu, SPECIES, MARS, h_t, state_template=state0,
         ils_W=W if ils else None, n_sub=2, variant="humlicek4",
-        cutoff_cm1=25.0, chunk=128)
+        cutoff_cm1=cutoff_cm1, chunk=128, engine=engine,
+        interpret=engine == "pallas", nu_halo=nu_halo)
     x0, _ = flatten_state(state0)
     return oe, x0
 
@@ -110,6 +112,129 @@ def test_sharded_jacobian_row_order_no_ils(scene):
     K = np.asarray(jac(x0))
     K_sh = np.asarray(oe.jacobian(jnp.asarray(x0)))
     np.testing.assert_allclose(K_sh, K, rtol=1e-9, atol=1e-16)
+
+
+@pytest.mark.parametrize("mesh_shape,nu_halo", [
+    ((2, 2, 2), False),   # Pallas kernel through the line-psum tier
+    ((1, 2, 4), True),    # Pallas kernel + nu-halo owner-shard distribution
+])
+def test_sharded_pallas_engine_matches(scene, mesh_shape, nu_halo):
+    """VERDICT.md round-2 item 1 'done' criterion: the mesh forward AND the
+    fused-basis analytic Jacobian (ops/pallas_opacity.py basis kernels) run
+    THROUGH shard_map with engine='pallas' (interpret mode on the emulated
+    CPU mesh) and match the single-device pallas path to the f32
+    accumulation-order level."""
+    atm, dl, nu, h_t, W = scene
+    cut = 5.0  # halo exactness: cutoff <= shard width (45 cm-1 / 4 shards)
+    fwd = build_forward(atm, dl, nu, SPECIES, MARS, tangent_heights_m=h_t,
+                        ils_W=W, n_sub=2, variant="humlicek4",
+                        cutoff_cm1=cut, chunk=128, engine="pallas",
+                        interpret=True)
+    state0 = make_state(atm, ["CO"])
+    x0, unravel = flatten_state(state0)
+    fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
+    y_ref = np.asarray(fwd_flat(x0))
+    K_ref = np.asarray(jax.jacfwd(fwd_flat)(x0))
+
+    oe, _ = _sharded(scene, mesh_shape, engine="pallas", nu_halo=nu_halo,
+                     cutoff_cm1=cut)
+    y = np.asarray(oe.forward_flat(x0))
+    K = np.asarray(oe.jacobian(jnp.asarray(x0)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-6,
+                               atol=np.abs(y_ref).max() * 1e-7)
+    np.testing.assert_allclose(K, K_ref, rtol=2e-6,
+                               atol=np.abs(K_ref).max() * 2e-6)
+
+    # The normal equations assemble from the same fused-basis Jacobian.
+    sigma = np.full(y_ref.shape, 0.002 * y_ref.max())
+    oe.bind_observation(y_ref * 1.01, sigma)
+    F, H, g = oe.normal_eqs(jnp.asarray(x0))
+    w = 1.0 / sigma.astype(np.float64) ** 2
+    KtW = K_ref.astype(np.float64).T * w[None, :]
+    np.testing.assert_allclose(np.asarray(H), KtW @ K_ref, rtol=2e-5)
+
+
+def test_sharded_nadir_matches_single_device(scene):
+    """Nadir x mesh (VERDICT.md round-2 item 8): the mesh forward and
+    Jacobian over nadir pixels (sec_theta on the 'ray' axis, grey surface
+    with reflected downwelling) match the single-device nadir model."""
+    atm, dl, nu, _h_t, W = scene
+    sec = jnp.asarray([1.0, 1.15, 1.3, 1.5])
+    fwd = build_forward(atm, dl, nu, SPECIES, MARS, sec_theta=sec,
+                        T_surface=235.0, ils_W=W, n_sub=2, chunk=128)
+    state0 = make_state(atm, ["CO"])
+    x0, unravel = flatten_state(state0)
+    fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
+    y_ref = np.asarray(fwd_flat(x0))
+    K_ref = np.asarray(jax.jacfwd(fwd_flat)(x0))
+
+    mesh = make_mesh((2, 2, 2))
+    oe = make_sharded_oe(
+        mesh, atm, dl, nu, SPECIES, MARS, state_template=state0,
+        ils_W=W, n_sub=2, chunk=128, sec_theta=sec, T_surface=235.0,
+        emissivity=1.0)
+    np.testing.assert_allclose(np.asarray(oe.forward_flat(x0)), y_ref,
+                               rtol=1e-10, atol=np.abs(y_ref).max() * 1e-12)
+    np.testing.assert_allclose(np.asarray(oe.jacobian(jnp.asarray(x0))),
+                               K_ref, rtol=1e-8, atol=1e-16)
+
+    # Grey surface: the reflected downwelling is computed INSIDE the mesh.
+    fwd_g = build_forward(atm, dl, nu, SPECIES, MARS, sec_theta=sec,
+                          T_surface=235.0, ils_W=W, n_sub=2, chunk=128)
+    # build_forward has no emissivity knob (nadir_radiance does); compare
+    # against the library path directly.
+    from spectrobot_tpu.forward.geometry import nadir_path_cg
+    from spectrobot_tpu.forward.limb import nadir_radiance
+    from spectrobot_tpu.ops.ils import apply_ils
+    cg = nadir_path_cg(atm, SPECIES, sec, 2)
+    y_grey = np.asarray(apply_ils(
+        nadir_radiance(nu, dl, cg, 235.0, emissivity=0.85, chunk=128),
+        W)).reshape(-1)
+    oe_g = make_sharded_oe(
+        mesh, atm, dl, nu, SPECIES, MARS, state_template=state0,
+        ils_W=W, n_sub=2, chunk=128, sec_theta=sec, T_surface=235.0,
+        emissivity=0.85)
+    np.testing.assert_allclose(np.asarray(oe_g.forward_flat(x0)), y_grey,
+                               rtol=1e-10, atol=np.abs(y_grey).max() * 1e-12)
+
+
+def test_sharded_fov_retrieval_matches(scene):
+    """FOV x mesh (VERDICT.md round-2 item 7): field-of-view smearing over a
+    fine tangent-height ladder composes with the mesh — the FOV mixes the
+    sharded 'ray' axis outside the shard_map, dropping it from the Jacobian
+    row axes."""
+    from spectrobot_tpu.ops.ils import fov_matrix
+
+    atm, dl, nu, _h_t, W = scene
+    h_fine = jnp.asarray(np.linspace(4e3, 32e3, 8))      # ladder: 8 % 2 == 0
+    h_obs = np.array([10e3, 18e3, 26e3])
+    V = jnp.asarray(fov_matrix(np.asarray(h_fine), h_obs, fwhm_m=6e3))
+
+    fwd = build_forward(atm, dl, nu, SPECIES, MARS, tangent_heights_m=h_fine,
+                        ils_W=W, fov_V=V, n_sub=2, chunk=128)
+    state0 = make_state(atm, ["CO"])
+    x0, unravel = flatten_state(state0)
+    fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
+    y_ref = np.asarray(fwd_flat(x0))
+    K_ref = np.asarray(jax.jacfwd(fwd_flat)(x0))
+
+    mesh = make_mesh((2, 2, 2))
+    oe = make_sharded_oe(
+        mesh, atm, dl, nu, SPECIES, MARS, h_fine, state_template=state0,
+        ils_W=W, fov_V=V, n_sub=2, chunk=128)
+    assert oe.row_axes == ()      # ILS mixed 'nu', FOV mixed 'ray'
+    np.testing.assert_allclose(np.asarray(oe.forward_flat(x0)), y_ref,
+                               rtol=1e-10, atol=np.abs(y_ref).max() * 1e-12)
+    np.testing.assert_allclose(np.asarray(oe.jacobian(jnp.asarray(x0))),
+                               K_ref, rtol=1e-8, atol=1e-16)
+
+    # Normal equations through the replicated-rows path.
+    sigma = np.full(y_ref.shape, 0.002 * y_ref.max())
+    oe.bind_observation(y_ref * 1.01, sigma)
+    _, H, _ = oe.normal_eqs(jnp.asarray(x0))
+    w = 1.0 / sigma.astype(np.float64) ** 2
+    H_ref = (K_ref.astype(np.float64).T * w[None, :]) @ K_ref
+    np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-9)
 
 
 def test_sharded_retrieval_matches_single_device(scene, tmp_path):

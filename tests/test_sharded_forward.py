@@ -18,7 +18,8 @@ from spectrobot_tpu.forward.limb import limb_radiance
 from spectrobot_tpu.ops.strengths import device_lines_from_linelist
 from spectrobot_tpu.parallel.mesh import make_mesh
 from spectrobot_tpu.parallel.sharded import (
-    pad_lines_for_mesh, sharded_radiance_fn, stage_sharded,
+    pad_lines_for_mesh, partition_lines_by_nu, sharded_radiance_fn,
+    stage_sharded,
 )
 
 
@@ -45,6 +46,48 @@ def test_sharded_matches_single_device(shape):
     got = np.asarray(f(nu_s, lines_s, cg_s))
     np.testing.assert_allclose(got, ref, rtol=1e-10,
                                atol=np.abs(ref).max() * 1e-12)
+
+
+@pytest.mark.parametrize("shape,engine,halo", [
+    ((2, 2, 2), "jnp", True),      # nu-halo tier, XLA engine
+    ((1, 1, 4), "jnp", True),      # pure nu decomposition with halo
+    ((1, 2, 4), "jnp", True),      # halo composed with line sharding
+    ((2, 2, 2), "pallas", False),  # Pallas kernel through the line-psum tier
+    ((1, 1, 4), "pallas", True),   # Pallas kernel + nu-halo (the
+                                   # BASELINE.json:5 north-star composition)
+])
+def test_sharded_engine_halo_matrix(shape, engine, halo):
+    """The production engine x distribution matrix (VERDICT.md round-2
+    item 1): the Pallas kernel and the nu-halo line distribution each match
+    the single-device result — jnp to f64 roundoff, pallas to the f32
+    accumulation-order level of the kernel itself."""
+    ll, dl, nu, cg = _scene()
+    # The grid spans 25 cm-1; halo exactness needs cutoff <= shard width
+    # (here 25/4 = 6.25), so the whole matrix runs at 5 cm-1.
+    cut = 5.0
+    ref = np.asarray(jax.jit(lambda: limb_radiance(
+        nu, dl, cg, cutoff_cm1=cut))())
+    mesh = make_mesh(shape, jax.devices()[: int(np.prod(shape))])
+    if halo:
+        dlp = partition_lines_by_nu(dl, np.asarray(nu), shape[2],
+                                    cutoff_cm1=cut, line_shards=shape[1])
+    else:
+        dlp = pad_lines_for_mesh(dl, shape[1])
+    f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
+                            cutoff_cm1=cut, engine=engine, interpret=True,
+                            nu_halo=halo)
+    nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
+    got = np.asarray(f(nu_s, lines_s, cg_s))
+    tol = 1e-10 if engine == "jnp" else 2e-6   # pallas runs in float32
+    np.testing.assert_allclose(got, ref, rtol=tol,
+                               atol=np.abs(ref).max() * tol)
+
+
+def test_halo_partition_guard():
+    """cutoff > shard width must fail loudly (wings would skip a shard)."""
+    ll, dl, nu, cg = _scene()
+    with pytest.raises(AssertionError, match="wing cutoff"):
+        partition_lines_by_nu(dl, np.asarray(nu), 8, cutoff_cm1=25.0)
 
 
 def test_sharded_nlte_and_background():
