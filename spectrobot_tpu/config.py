@@ -76,6 +76,8 @@ class GeometryConfig:
     tangent_heights_km: Tuple[float, ...] = (10.0, 20.0, 30.0, 40.0)
     sec_theta: Tuple[float, ...] = (1.0,)
     t_surface: float = 260.0
+    emissivity: float = 1.0             # grey surface; <1 adds reflected
+                                        # downwelling (nadir only)
     n_sub: int = 4
 
 
@@ -88,6 +90,13 @@ class InstrumentConfig:
     chan_max: float = 0.0
     n_channels: int = 128
     noise: float = 0.0                  # radiance noise sigma
+    # Field-of-view smearing over tangent height (C14's FOV half, limb
+    # only): fov_fwhm_km > 0 computes radiances on a FINE ladder of
+    # fov_n_fine rays spanning the requested tangent heights +- 2 FWHM and
+    # smears them into the observed FOVs with ops.ils.fov_matrix.
+    fov_fwhm_km: float = 0.0            # 0 => no FOV smearing
+    fov_shape: str = "gaussian"
+    fov_n_fine: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +114,12 @@ class ComputeConfig:
     mesh_ray: int = 1
     mesh_line: int = 1
     mesh_nu: int = 0                    # 0 => all remaining devices
+    # nu-halo line distribution (parallel/sharded.py): lines live on the nu
+    # shard owning their center and wings reach neighbours via ring
+    # ppermute of line PARAMETERS — neighbour-only ICI traffic instead of
+    # the line-axis psum of partial spectra.  Requires
+    # cutoff_cm1 <= grid-span / mesh_nu (asserted loudly).
+    mesh_halo: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,12 +53,27 @@ __all__ = ["T_GRID", "T_REF", "q_table", "q_of_T", "pack_q_tables",
 # Spectroscopic constants (published; HITRAN/NIST diatomic + polyatomic
 # tables).  Layout:
 #   linear:    kind="linear",    B [cm-1], sigma, modes=((omega_i, d_i), ...)
+#              spin="h2" applies H2-type para/ortho (1:3) weights by J parity
+#   symtop:    kind="symtop",    B, X (= A prolate / C oblate) [cm-1], sigma,
+#              modes — direct (J, K) sum of E = B J(J+1) + (X - B) K^2
 #   asym:      kind="asym",      ABC [cm-1], sigma, modes; spin="h2o" applies
 #              para/ortho (1:3) weights by Ka+Kc parity
 #   spherical: kind="spherical", B, sigma, modes
 #   classical: kind="classical", ABC (or effective), sigma, modes — heavy
 #              tops where the classical rotor is exact to <1e-4 on the grid
-# q296 = HITRAN molparam reference partition sum (the anchor).
+#   atom:      kind="atom"       — no rotation/vibration; Q is Q_elec alone
+# Optional per-species keys:
+#   elec = ((E_i [cm-1], g_i), ...) low-lying electronic / spin-orbit /
+#          fine-structure levels; Q_elec(T) = sum g_i exp(-c2 E_i / T)
+#          multiplies the rovibrational product.  CONSTANT electronic or
+#          nuclear-spin degeneracies are omitted — they cancel through the
+#          Q296 anchor (only the SHAPE Q(T)/Q(296) reaches the line-strength
+#          scaling, ops/strengths.py).
+# q296 = HITRAN molparam reference partition sum (the anchor).  Entries
+# marked q296_recalled=True carry a from-memory molparam value (this image
+# has no network access): their ABSOLUTE Q may be off at the percent level,
+# which cancels exactly in S(T) — register_q_table() installs official
+# numbers when available.
 _SPECIES: Dict[Tuple[int, int], dict] = {
     # --- H2O (mol 1): light asymmetric top — direct diagonalisation ---
     (1, 1): dict(kind="asym", ABC=(27.8806, 14.5216, 9.2778), sigma=2,
@@ -180,6 +195,240 @@ _SPECIES: Dict[Tuple[int, int], dict] = {
                   modes=((2954.0, 1), (1388.4, 1), (994.8, 1), (289.0, 1),
                          (2896.0, 1), (1379.2, 1), (2969.0, 2), (1468.1, 2),
                          (1190.0, 2), (2985.0, 2), (1469.0, 2), (821.6, 2))),
+
+    # ------------------------------------------------------------------
+    # Round-3 completion (VERDICT.md round-2 item 2): principal
+    # isotopologues of every remaining HITRAN molecule, 8-21, 24, 25,
+    # 28-55.  Constants are standard published values (NIST diatomic
+    # tables / Herzberg / HITRAN documentation) from memory — no network
+    # on this image.  q296 anchors marked recalled=True are from-memory
+    # HITRAN molparam values (percent-level confidence; the ABSOLUTE Q
+    # cancels in S(T), see q_table); entries WITHOUT q296 anchor to the
+    # model's own 296 K value (pure model absolute — register official
+    # TIPS tables via register_q_table for external consumers).
+    # ------------------------------------------------------------------
+
+    # --- NO (mol 8): 2Pi diatomic — spin-orbit doublet in the shape ---
+    (8, 1): dict(kind="linear", B=1.67195, sigma=1, q296=1142.13,
+                 modes=((1876.1, 1),),
+                 elec=((0.0, 2), (119.82, 2))),
+    # --- SO2 (mol 9): heavy asymmetric top ---
+    (9, 1): dict(kind="classical", ABC=(2.02736, 0.34417, 0.29353), sigma=2,
+                 q296=6340.30,
+                 modes=((1151.7, 1), (517.9, 1), (1362.1, 1))),
+    (9, 2): dict(kind="classical", ABC=(2.02696, 0.33302, 0.28540), sigma=2,
+                 q296=6626.35, recalled=True,
+                 modes=((1147.0, 1), (513.5, 1), (1345.1, 1))),
+    # --- NO2 (mol 10): doublet (constant x2 cancels via anchor) ---
+    (10, 1): dict(kind="classical", ABC=(8.00236, 0.43371, 0.41040), sigma=2,
+                  q296=13577.48,
+                  modes=((1319.8, 1), (749.7, 1), (1616.9, 1))),
+    # --- NH3 (mol 11): oblate symmetric top (inversion doubling is a
+    # near-constant factor below 500 K — anchored away) ---
+    (11, 1): dict(kind="symtop", B=9.9466, X=6.2287, sigma=3, q296=1725.22,
+                  modes=((3336.6, 1), (950.0, 1), (3443.6, 2), (1626.8, 2))),
+    (11, 2): dict(kind="symtop", B=9.9398, X=6.2270, sigma=3, q296=1153.30,
+                  recalled=True,
+                  modes=((3335.2, 1), (948.9, 1), (3435.0, 2), (1623.2, 2))),
+    # --- HNO3 (mol 12): heavy planar asymmetric top, 9 modes ---
+    (12, 1): dict(kind="classical", ABC=(0.43395, 0.40342, 0.20871), sigma=1,
+                  q296=213999.0, recalled=True,
+                  modes=((3551.0, 1), (1709.0, 1), (1326.0, 1), (1304.0, 1),
+                         (879.0, 1), (763.0, 1), (647.0, 1), (580.0, 1),
+                         (458.0, 1))),
+    # --- OH (mol 13): 2Pi diatomic (inverted SO splitting 139 cm-1) ---
+    (13, 1): dict(kind="linear", B=18.5504, sigma=1, q296=80.35,
+                  modes=((3569.6, 1),),
+                  elec=((0.0, 2), (139.2, 2))),
+    # --- Hydrogen halides (mols 14-17): 1Sigma diatomics ---
+    (14, 1): dict(kind="linear", B=20.5598, sigma=1, q296=41.47,
+                  modes=((3961.4, 1),)),
+    (15, 1): dict(kind="linear", B=10.4398, sigma=1, q296=160.65,
+                  modes=((2885.9, 1),)),
+    (15, 2): dict(kind="linear", B=10.4242, sigma=1, q296=160.89,
+                  recalled=True, modes=((2883.8, 1),)),
+    (16, 1): dict(kind="linear", B=8.34824, sigma=1, q296=200.17,
+                  modes=((2558.5, 1),)),
+    (17, 1): dict(kind="linear", B=6.42635, sigma=1, q296=388.99,
+                  modes=((2229.6, 1),)),
+    # --- ClO (mol 18): 2Pi with large SO splitting ---
+    (18, 1): dict(kind="linear", B=0.62345, sigma=1, q296=3274.61,
+                  modes=((842.6, 1),),
+                  elec=((0.0, 2), (321.77, 2))),
+    # --- OCS (mol 19): linear triatomic ---
+    (19, 1): dict(kind="linear", B=0.202857, sigma=1, q296=1221.01,
+                  modes=((858.9, 1), (520.4, 2), (2062.2, 1))),
+    (19, 2): dict(kind="linear", B=0.197910, sigma=1, q296=1253.48,
+                  recalled=True,
+                  modes=((848.0, 1), (513.0, 2), (2031.0, 1))),
+    # --- H2CO (mol 20): light asymmetric top — direct diagonalisation ---
+    (20, 1): dict(kind="asym", ABC=(9.40533, 1.29534, 1.13421), sigma=2,
+                  q296=2844.53,
+                  modes=((2782.5, 1), (1746.0, 1), (1500.2, 1), (1167.3, 1),
+                         (2843.3, 1), (1249.1, 1))),
+    # --- HOCl (mol 21) ---
+    (21, 1): dict(kind="asym", ABC=(20.4636, 0.50368, 0.49159), sigma=1,
+                  q296=19274.79,
+                  modes=((3609.5, 1), (1238.6, 1), (724.4, 1))),
+    # --- CH3Cl (mol 24): prolate symmetric top ---
+    (24, 1): dict(kind="symtop", B=0.44340, X=5.09704, sigma=3,
+                  q296=57916.12,
+                  modes=((2937.4, 1), (1354.9, 1), (732.8, 1), (3039.3, 2),
+                         (1452.2, 2), (1017.3, 2))),
+    (24, 2): dict(kind="symtop", B=0.43658, X=5.09657, sigma=3,
+                  q296=58833.90, recalled=True,
+                  modes=((2937.4, 1), (1354.7, 1), (727.0, 1), (3039.3, 2),
+                         (1452.1, 2), (1017.1, 2))),
+    # --- H2O2 (mol 25): the 254 cm-1 torsion treated harmonic (dominant
+    # approximation above ~250 K) ---
+    (25, 1): dict(kind="asym", ABC=(10.3560, 0.84853, 0.81258), sigma=2,
+                  q296=9847.99,
+                  modes=((3599.0, 1), (1395.0, 1), (865.9, 1), (3608.0, 1),
+                         (1264.6, 1), (254.0, 1))),
+    # --- PH3 (mol 28): oblate symmetric top ---
+    (28, 1): dict(kind="symtop", B=4.4523, X=3.919, sigma=3, q296=3249.44,
+                  modes=((2321.1, 1), (992.1, 1), (2326.9, 2), (1118.3, 2))),
+    # --- COF2 (mol 29) ---
+    (29, 1): dict(kind="classical", ABC=(0.39485, 0.39210, 0.19651), sigma=2,
+                  q296=70028.43,
+                  modes=((1944.0, 1), (963.0, 1), (584.0, 1), (1242.0, 1),
+                         (619.0, 1), (774.0, 1))),
+    # --- SF6 (mol 30): octahedral spherical top, sigma = 24 ---
+    (30, 1): dict(kind="spherical", B=0.09111, sigma=24, q296=1620604.0,
+                  recalled=True,
+                  modes=((774.0, 1), (642.0, 2), (948.0, 3), (615.0, 3),
+                         (524.0, 3), (346.0, 3))),
+    # --- H2S (mol 31): light asymmetric top, H2 ortho/para weights ---
+    (31, 1): dict(kind="asym", ABC=(10.3662, 9.0162, 8.9697), sigma=2,
+                  spin="h2o", q296=505.79,
+                  modes=((2614.4, 1), (1182.6, 1), (2628.5, 1))),
+    (31, 2): dict(kind="asym", ABC=(10.3630, 9.0120, 8.9660), sigma=2,
+                  spin="h2o", q296=504.35, recalled=True,
+                  modes=((2614.0, 1), (1181.9, 1), (2627.8, 1))),
+    # --- HCOOH (mol 32) ---
+    (32, 1): dict(kind="classical", ABC=(2.58541, 0.40210, 0.34707), sigma=1,
+                  q296=39132.76,
+                  modes=((3570.0, 1), (2943.0, 1), (1770.0, 1), (1387.0, 1),
+                         (1229.0, 1), (1105.0, 1), (1033.0, 1), (638.0, 1),
+                         (625.0, 1))),
+    # --- HO2 (mol 33): doublet (constant x2 anchored away) ---
+    (33, 1): dict(kind="asym", ABC=(20.3565, 1.11789, 1.05629), sigma=1,
+                  q296=4300.39,
+                  modes=((3436.2, 1), (1391.8, 1), (1097.6, 1))),
+    # --- O (mol 34): atomic oxygen — 3P fine structure only ---
+    (34, 1): dict(kind="atom", sigma=1, q296=6.72,
+                  elec=((0.0, 5), (158.265, 3), (226.977, 1))),
+    # --- ClONO2 (mol 35): heavy; the 121 cm-1 torsion dominates the shape.
+    # 9 of 12 fundamentals recalled; the 3 omitted are >1200 cm-1 (sub-0.1%
+    # below 400 K) ---
+    (35, 1): dict(kind="classical", ABC=(0.41014, 0.09219, 0.07546), sigma=1,
+                  q296=4790836.0, recalled=True,
+                  modes=((1735.0, 1), (1292.0, 1), (809.0, 1), (780.0, 1),
+                         (711.0, 1), (560.0, 1), (434.0, 1), (270.0, 1),
+                         (121.0, 1))),
+    (35, 2): dict(kind="classical", ABC=(0.40610, 0.09090, 0.07430), sigma=1,
+                  q296=4910749.0, recalled=True,
+                  modes=((1735.0, 1), (1292.0, 1), (807.0, 1), (777.0, 1),
+                         (709.0, 1), (556.0, 1), (432.0, 1), (269.0, 1),
+                         (120.0, 1))),
+    # --- NO+ (mol 36): closed-shell diatomic ion ---
+    (36, 1): dict(kind="linear", B=1.99753, sigma=1, q296=311.69,
+                  modes=((2344.0, 1),)),
+    # --- HOBr (mol 37) ---
+    (37, 1): dict(kind="asym", ABC=(20.474, 0.42826, 0.41950), sigma=1,
+                  q296=28339.38, recalled=True,
+                  modes=((3614.9, 1), (1162.6, 1), (620.2, 1))),
+    # --- C2H4 (mol 38): sigma = 4 (D2h), 12 modes ---
+    (38, 1): dict(kind="classical", ABC=(4.86462, 1.00106, 0.82804), sigma=4,
+                  q296=11041.54,
+                  modes=((3026.0, 1), (1623.0, 1), (1342.0, 1), (1023.0, 1),
+                         (3103.0, 1), (1236.0, 1), (949.0, 1), (943.0, 1),
+                         (3106.0, 1), (826.0, 1), (2989.0, 1), (1444.0, 1))),
+    # --- CH3OH (mol 39): the ~270 cm-1 hindered internal rotation treated
+    # as a harmonic mode (dominant approximation; anchored) ---
+    (39, 1): dict(kind="classical", ABC=(4.2537, 0.82338, 0.79256), sigma=1,
+                  q296=70569.92, recalled=True,
+                  modes=((3681.0, 1), (3000.0, 1), (2960.0, 1), (2844.0, 1),
+                         (1477.0, 2), (1455.0, 1), (1345.0, 1), (1165.0, 1),
+                         (1060.0, 1), (1033.0, 1), (270.0, 1))),
+    # --- CH3Br (mol 40) ---
+    (40, 1): dict(kind="symtop", B=0.31916, X=5.1804, sigma=3,
+                  q296=83051.98, recalled=True,
+                  modes=((2935.0, 1), (1305.9, 1), (611.0, 1), (3056.0, 2),
+                         (1442.8, 2), (954.8, 2))),
+    (40, 2): dict(kind="symtop", B=0.31748, X=5.1804, sigma=3,
+                  q296=83395.21, recalled=True,
+                  modes=((2935.0, 1), (1305.9, 1), (608.0, 1), (3056.0, 2),
+                         (1442.8, 2), (954.0, 2))),
+    # --- CH3CN (mol 41): the 362 cm-1 degenerate CCN bend dominates ---
+    (41, 1): dict(kind="symtop", B=0.30684, X=5.2470, sigma=3,
+                  q296=88672.19, recalled=True,
+                  modes=((2954.0, 1), (2267.0, 1), (1385.0, 1), (920.0, 1),
+                         (3009.0, 2), (1448.0, 2), (1041.0, 2), (362.0, 2))),
+    # --- CF4 (mol 42): tetrahedral, sigma = 12 ---
+    (42, 1): dict(kind="spherical", B=0.19235, sigma=12, q296=121166.4,
+                  recalled=True,
+                  modes=((908.4, 1), (435.0, 2), (1283.0, 3), (631.2, 3))),
+    # --- C4H2 (mol 43): diacetylene, 4 doubly degenerate bends ---
+    (43, 1): dict(kind="linear", B=0.146395, sigma=2, q296=9818.97,
+                  recalled=True,
+                  modes=((3332.0, 1), (2189.0, 1), (872.0, 1), (3333.0, 1),
+                         (2022.0, 1), (628.0, 2), (482.0, 2), (630.0, 2),
+                         (220.0, 2))),
+    # --- HC3N (mol 44): cyanoacetylene ---
+    (44, 1): dict(kind="linear", B=0.151739, sigma=1, q296=24786.84,
+                  recalled=True,
+                  modes=((3327.0, 1), (2274.0, 1), (2079.0, 1), (878.0, 1),
+                         (663.0, 2), (499.0, 2), (223.0, 2))),
+    # --- H2 (mol 45): explicit para/ortho J-parity weights (B ~ 59 cm-1
+    # puts the o/p alternation in the shape up to ~400 K) ---
+    (45, 1): dict(kind="linear", B=59.3344, sigma=1, spin="h2", q296=7.67,
+                  modes=((4161.2, 1),)),
+    (45, 2): dict(kind="linear", B=44.6658, sigma=1, q296=29.87,
+                  recalled=True, modes=((3632.2, 1),)),
+    # --- CS (mol 46) ---
+    (46, 1): dict(kind="linear", B=0.817996, sigma=1, q296=253.62,
+                  modes=((1272.2, 1),)),
+    # --- SO3 (mol 47): planar D3h, sigma = 6 ---
+    (47, 1): dict(kind="classical", ABC=(0.34854, 0.34854, 0.17427), sigma=6,
+                  q296=7783.30, recalled=True,
+                  modes=((1064.9, 1), (497.6, 1), (1391.5, 2), (530.1, 2))),
+    # --- C2N2 (mol 48): cyanogen ---
+    (48, 1): dict(kind="linear", B=0.15708, sigma=2, q296=15582.44,
+                  recalled=True,
+                  modes=((2330.0, 1), (845.0, 1), (2158.0, 1), (503.0, 2),
+                         (234.0, 2))),
+    # --- COCl2 (mol 49): phosgene ---
+    (49, 1): dict(kind="classical", ABC=(0.26450, 0.11613, 0.08066), sigma=2,
+                  q296=1480324.0, recalled=True,
+                  modes=((1827.0, 1), (849.0, 1), (580.0, 1), (569.0, 1),
+                         (440.0, 1), (285.0, 1))),
+    (49, 2): dict(kind="classical", ABC=(0.26160, 0.11332, 0.07905), sigma=1,
+                  q296=3043326.0, recalled=True,
+                  modes=((1827.0, 1), (845.0, 1), (578.0, 1), (564.0, 1),
+                         (437.0, 1), (283.0, 1))),
+    # --- SO (mol 50): 3Sigma- (spin-triplet factor constant; the ~10 cm-1
+    # spin splitting is sub-0.1% in shape above 100 K) ---
+    (50, 1): dict(kind="linear", B=0.72082, sigma=1, q296=848.81,
+                  recalled=True, modes=((1136.9, 1),)),
+    # --- CH3F (mol 51) — model-absolute (no molparam recall) ---
+    (51, 1): dict(kind="symtop", B=0.85179, X=5.1820, sigma=3,
+                  modes=((2930.0, 1), (1464.0, 1), (1048.6, 1), (3006.0, 2),
+                         (1467.0, 2), (1182.7, 2))),
+    # --- GeH4 (mol 52): tetrahedral — model-absolute ---
+    (52, 1): dict(kind="spherical", B=2.696, sigma=12,
+                  modes=((2106.0, 1), (931.0, 2), (2114.0, 3), (819.0, 3))),
+    # --- CS2 (mol 53) ---
+    (53, 1): dict(kind="linear", B=0.10910, sigma=2, q296=1352.60,
+                  recalled=True,
+                  modes=((658.0, 1), (397.0, 2), (1535.0, 1))),
+    # --- CH3I (mol 54) — model-absolute ---
+    (54, 1): dict(kind="symtop", B=0.25022, X=5.1742, sigma=3,
+                  modes=((2933.0, 1), (1252.0, 1), (533.0, 1), (3060.0, 2),
+                         (1436.0, 2), (882.0, 2))),
+    # --- NF3 (mol 55): oblate symmetric top — model-absolute ---
+    (55, 1): dict(kind="symtop", B=0.35625, X=0.19509, sigma=3,
+                  modes=((1032.0, 1), (647.0, 1), (907.0, 2), (492.0, 2))),
 }
 
 # User-registered override tables: (mol, iso) -> Q on T_GRID.
@@ -194,19 +443,47 @@ _CACHE: Dict[Tuple[int, int], np.ndarray] = {}
 # ---------------------------------------------------------------------------
 
 def _q_rot_linear(B: float, sigma: int, T: np.ndarray,
-                  j_max: int = 400) -> np.ndarray:
+                  j_max: int = 400, spin=None) -> np.ndarray:
     """Exact rigid-rotor sum  (1/sigma) * sum_J (2J+1) exp(-c2 B J(J+1)/T).
 
     Converged on the full grid for B >= 0.3 cm-1 at j_max=400 (tail term
     < 1e-12 of the sum at 1500 K); for diatomics (B ~ 2) it converges by
     J ~ 150.  The sigma approximation to nuclear-spin statistics is exact
     here to O(exp(-c2 B / T_min)) relative — negligible for all registered
-    linear molecules at T >= 20 K.
+    linear molecules at T >= 20 K, EXCEPT H2-likes: ``spin="h2"`` applies
+    the explicit para/ortho J-parity weights (1 even : 3 odd), which at
+    H2's B ~ 61 cm-1 dominate Q below ~300 K.
     """
+    # Smaller B needs larger J for 1500 K convergence: B J^2 >> kT.
+    if B < 0.3:
+        j_max = max(j_max, int(np.ceil(40.0 / np.sqrt(B))) + 50)
     J = np.arange(j_max + 1, dtype=np.float64)
     E = B * J * (J + 1.0)                                   # [J]
     g = 2.0 * J + 1.0
+    if spin == "h2":
+        g = g * np.where(J % 2 == 1, 3.0, 1.0)
+        sigma = 1
     return (g[None, :] * np.exp(-C2 * E[None, :] / T[:, None])).sum(1) / sigma
+
+
+def _q_rot_symtop(B: float, X: float, sigma: int, T: np.ndarray,
+                  j_max: int = 120) -> np.ndarray:
+    """Direct symmetric-top sum
+
+        (1/sigma) sum_J sum_{K=-J..J} (2J+1) exp(-c2 [B J(J+1) + (X-B) K^2]/T)
+
+    with X = A (prolate) or C (oblate).  j_max=120 converges all registered
+    tops (B >= 0.25 cm-1) at 1500 K; the uniform 1/sigma rule carries the
+    usual O(exp(-c2 B/T_min)) nuclear-spin error, anchored away at 296 K.
+    """
+    if min(B, abs(X)) < 0.25:
+        j_max = max(j_max, int(np.ceil(40.0 / np.sqrt(min(B, abs(X))))) + 50)
+    out = np.zeros_like(T)
+    for J in range(j_max + 1):
+        K = np.arange(-J, J + 1, dtype=np.float64)
+        E = B * J * (J + 1.0) + (X - B) * K ** 2
+        out += (2.0 * J + 1.0) * np.exp(-C2 * E[None, :] / T[:, None]).sum(1)
+    return out / sigma
 
 
 def _q_rot_spherical(B: float, sigma: int, T: np.ndarray,
@@ -285,25 +562,44 @@ def _q_vib(modes, T: np.ndarray) -> np.ndarray:
     return q
 
 
+def _q_elec(elec, T: np.ndarray) -> np.ndarray:
+    """Low-lying electronic/spin-orbit/fine-structure partition factor."""
+    q = np.zeros_like(T)
+    for E, g in elec:
+        q = q + g * np.exp(-C2 * E / T)
+    return q
+
+
 def _q_model(spec: dict, T: np.ndarray) -> np.ndarray:
     T = np.asarray(T, dtype=np.float64)
     kind = spec["kind"]
     if kind == "linear":
-        q_rot = _q_rot_linear(spec["B"], spec["sigma"], T)
+        q_rot = _q_rot_linear(spec["B"], spec["sigma"], T,
+                              spin=spec.get("spin"))
+    elif kind == "symtop":
+        q_rot = _q_rot_symtop(spec["B"], spec["X"], spec["sigma"], T)
     elif kind == "spherical":
         q_rot = _q_rot_spherical(spec["B"], spec["sigma"], T)
     elif kind == "asym":
         q_rot = _q_rot_asym(spec["ABC"], spec["sigma"], spec.get("spin"), T)
     elif kind == "classical":
         q_rot = _q_rot_classical(spec["ABC"], spec["sigma"], T)
+    elif kind == "atom":
+        q_rot = np.ones_like(T)
     else:  # pragma: no cover
         raise ValueError(f"unknown rotor kind {kind!r}")
-    return q_rot * _q_vib(spec["modes"], T)
+    q = q_rot * _q_vib(spec.get("modes", ()), T)
+    if "elec" in spec:
+        q = q * _q_elec(spec["elec"], T)
+    return q
 
 
 # HITRAN molparam Q(296 K) anchors, exposed for tests / external use.
+# Model-absolute entries (no recalled molparam value) get their own model's
+# 296 K value lazily via q_of_T; they are omitted here so consumers can see
+# which anchors are external.
 Q296: Dict[Tuple[int, int], float] = {
-    k: v["q296"] for k, v in _SPECIES.items()
+    k: v["q296"] for k, v in _SPECIES.items() if "q296" in v
 }
 
 
@@ -353,7 +649,10 @@ def q_table(mol_id: int, iso_id: int) -> np.ndarray:
     if spec is None:
         raise KeyError(f"No partition-function model for molecule {mol_id} iso {iso_id}")
     model = _q_model(spec, T_GRID)
-    anchor = spec["q296"] / float(np.interp(T_REF, T_GRID, model))
+    if "q296" in spec:
+        anchor = spec["q296"] / float(np.interp(T_REF, T_GRID, model))
+    else:
+        anchor = 1.0   # model-absolute entry (see _SPECIES header note)
     tab = model * anchor
     _CACHE[key] = tab
     return tab

@@ -230,6 +230,35 @@ def _rt_epilogue(nu_grid, cg, dtau, dtau_em, bg):
 _rt_epilogue_jit = _rt_epilogue
 
 
+def radiance_from_tau(
+    nu_grid: jnp.ndarray,
+    cg: PathCG,
+    dtau: jnp.ndarray,
+    dtau_em: jnp.ndarray,
+    cia=None,
+    T_surface=None,
+    emissivity=1.0,
+    I_background: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """RT epilogue from PRECOMPUTED line-sum depths [R, NL, P] — the shared
+    tail of the LUT runtime tier (ops/lut.py, reference call stack 4.3) and
+    any external opacity source.  Limb when ``T_surface`` is None (deep
+    space or ``I_background`` behind), nadir otherwise (grey surface with
+    Lambertian reflected downwelling, as :func:`nadir_radiance`)."""
+    if cia is not None:
+        from spectrobot_tpu.ops.cia import cia_dtau
+        dc = cia_dtau(cia, cg).astype(dtau.dtype)
+        dtau, dtau_em = dtau + dc, dtau_em + dc
+    optics = optics_from_tau(nu_grid, cg, dtau, dtau_em)
+    if T_surface is None:
+        return path_radiance(optics, cg, I_background)
+    I_bg = emissivity * planck_nu(nu_grid, T_surface)
+    I_bg = jnp.broadcast_to(I_bg, (optics.dtau.shape[0], nu_grid.shape[0]))
+    if not (isinstance(emissivity, (int, float)) and emissivity >= 1.0):
+        I_bg = I_bg + (1.0 - emissivity) * downwelling_radiance(optics, cg)
+    return path_radiance(optics, cg, I_bg)
+
+
 def path_radiance(
     optics: LayerOptics,
     cg: PathCG,

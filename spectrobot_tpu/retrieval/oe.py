@@ -47,6 +47,12 @@ class RetrievalResult:
     dof: float                   # degrees of freedom for signal, tr(A)
     history: List[Dict]          # per-iteration records
     K: np.ndarray                # final Jacobian
+    # WHY the loop stopped (honest convergence reporting, VERDICT.md
+    # round-2 weak item 7): "d2_tol" / "chi2_tol" (converged), "max_iter"
+    # (budget exhausted — chi2 may still have been improving; see
+    # history[-1]["accepted"]), "lambda_max" (LM stalled: no damping
+    # produced an acceptable step).
+    stop_reason: str = ""
 
 
 def _chi2_terms(y, F, x, x_a, inv_se_diag, S_a_inv):
@@ -156,6 +162,7 @@ def retrieve(
     chi2_m, chi2_p = _chi2_terms(y, F, x, x_a, inv_se, S_a_inv)
     chi2 = float(chi2_m + chi2_p)
     converged = False
+    stop_reason = "max_iter"
     n_x = x.shape[0]
     K = None
     it = start_iter
@@ -190,6 +197,7 @@ def retrieve(
             if accepted:
                 x, F, chi2 = x_try, F_try, chi2_try
             converged = True
+            stop_reason = "d2_tol"
             break
 
         if accepted:
@@ -208,10 +216,12 @@ def retrieve(
                                   history=history)
             if rel < cfg.chi2_rel_tol:
                 converged = True
+                stop_reason = "chi2_tol"
                 break
         else:
             lam *= cfg.lm_up
             if lam > cfg.lambda_max:
+                stop_reason = "lambda_max"
                 break
 
     # Posterior covariance and averaging kernels (Rodgers 2000) — evaluated
@@ -228,4 +238,5 @@ def retrieve(
         x=np.asarray(x), chi2=chi2, chi2_meas=float(chi2_m),
         n_iter=it + 1, converged=converged, S_hat=S_hat, A_kernel=A_kernel,
         dof=float(np.trace(A_kernel)), history=history, K=np.asarray(K),
+        stop_reason=stop_reason,
     )

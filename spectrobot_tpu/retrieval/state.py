@@ -61,6 +61,7 @@ def build_forward(
     tangent_heights_m: Optional[jnp.ndarray] = None,
     sec_theta: Optional[jnp.ndarray] = None,
     T_surface: Optional[float] = None,
+    emissivity: float = 1.0,
     ils_W: Optional[jnp.ndarray] = None,
     fov_V: Optional[jnp.ndarray] = None,
     nlte: Optional[DeviceNLTE] = None,
@@ -96,7 +97,66 @@ def build_forward(
         else:
             ts = state.get("T_surface", T_surface)  # retrievable (nadir)
             cg = nadir_path_cg(atm, species, sec_theta, n_sub)
-            I = nadir_radiance(nu_grid, lines, cg, ts, nlte=nlte, **kw)
+            I = nadir_radiance(nu_grid, lines, cg, ts,
+                               emissivity=emissivity, nlte=nlte, **kw)
+        if fov_V is not None:
+            from spectrobot_tpu.ops.ils import apply_fov
+            I = apply_fov(I, fov_V)
+        if ils_W is not None:
+            I = apply_ils(I, ils_W)
+        return I.reshape(-1)
+
+    return forward
+
+
+def build_forward_lut(
+    base_atm: Atmosphere,
+    lut,  # ops.lut.OpacityLUT | ops.lut.NLTELUT
+    species: Sequence[str],
+    planet: Planet,
+    tangent_heights_m: Optional[jnp.ndarray] = None,
+    sec_theta: Optional[jnp.ndarray] = None,
+    T_surface: Optional[float] = None,
+    emissivity: float = 1.0,
+    ils_W: Optional[jnp.ndarray] = None,
+    fov_V: Optional[jnp.ndarray] = None,
+    nlte: Optional[DeviceNLTE] = None,
+    n_sub: int = 4,
+    cia=None,
+) -> Callable[[Dict], jnp.ndarray]:
+    """Build F: state -> y through the (P, T) LUT runtime tier (C9,
+    reference call stack 4.3: ``makeLUT*`` then interpolate) — the bilinear
+    table interpolation is differentiable in (T, log p) and in the VMR
+    state, so jacfwd produces the Jacobian the LM loop needs WITHOUT any
+    line summation per iteration (VERDICT.md round-2 item 4: 'the reference
+    runs its LUT tier precisely to make retrieval loops cheap').
+
+    ``lut`` is an LTE ``OpacityLUT`` or the per-level-group ``NLTELUT``
+    (pass ``nlte`` with the latter so level populations contract against
+    the cached coefficient tables).
+    """
+    from spectrobot_tpu.forward.limb import radiance_from_tau
+    from spectrobot_tpu.ops.lut import (
+        NLTELUT, layer_tau_lut, layer_tau_nlte_lut,
+    )
+
+    nu_grid = lut.nu_grid
+    is_nlte_tier = isinstance(lut, NLTELUT)
+
+    def forward(state: Dict) -> jnp.ndarray:
+        atm = apply_state(base_atm, state)
+        if tangent_heights_m is not None:
+            cg = limb_path_cg(atm, species, tangent_heights_m, planet, n_sub)
+            ts = None
+        else:
+            cg = nadir_path_cg(atm, species, sec_theta, n_sub)
+            ts = state.get("T_surface", T_surface)
+        if is_nlte_tier:
+            dtau, dtau_em = layer_tau_nlte_lut(lut, cg, nlte)
+        else:
+            dtau = dtau_em = layer_tau_lut(lut, cg)
+        I = radiance_from_tau(nu_grid, cg, dtau, dtau_em, cia=cia,
+                              T_surface=ts, emissivity=emissivity)
         if fov_V is not None:
             from spectrobot_tpu.ops.ils import apply_fov
             I = apply_fov(I, fov_V)

@@ -431,3 +431,199 @@ output_dir = "{tmp_path}/out"
     with pytest.raises(ValueError, match="tangent_heights_km"):
         main(["retrieve", str(cfg), "-o",
               "geometry.tangent_heights_km=8.0,30.0"])
+
+
+_TINY = """
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 160
+[scene]
+n_levels = 6
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [8.0, 25.0]
+n_sub = 2
+[instrument]
+enabled = true
+fwhm_cm1 = 0.4
+n_channels = 40
+[compute]
+dtype = "float64"
+chunk = 128
+[retrieval]
+max_iter = 8
+"""
+
+
+def test_cli_retrieve_lut_runtime(tmp_path, capsys):
+    """compute.use_lut must be honoured by cmd_retrieve (VERDICT.md round-2
+    item 4): the LUT retrieval converges and lands within LUT interpolation
+    error of the direct line-by-line retrieval."""
+    from spectrobot_tpu.cli import main
+
+    c_lut = tmp_path / "lut.toml"
+    c_lut.write_text(_TINY.replace("chunk = 128",
+                                   "chunk = 128\nuse_lut = true")
+                     + f"[run]\noutput_dir = \"{tmp_path}/r_lut\"\n")
+    c_dir = tmp_path / "dir.toml"
+    c_dir.write_text(_TINY + f"[run]\noutput_dir = \"{tmp_path}/r_dir\"\n")
+
+    assert main(["retrieve", str(c_lut)]) == 0
+    out_lut = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["retrieve", str(c_dir)]) == 0
+    out_dir = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out_lut["converged"] and out_dir["converged"]
+    with np.load(f"{tmp_path}/r_lut/retrieval.npz") as z:
+        x_lut = z["x"]
+    with np.load(f"{tmp_path}/r_dir/retrieval.npz") as z:
+        x_dir = z["x"]
+    # Temperatures within ~1 K of each other (LUT accuracy, self-test noise
+    # realisation shared since both synthesize with seed=0).
+    np.testing.assert_allclose(x_lut[:6], x_dir[:6], atol=1.5)
+
+
+def test_cli_mesh_lut_rejected(tmp_path):
+    """mesh x LUT must fail LOUDLY, not silently ignore the flag."""
+    from spectrobot_tpu.cli import cmd_retrieve
+    cfg = load_config(None, {"compute.use_lut": "true",
+                             "compute.mesh_nu": "2", "compute.mesh_ray": "2"})
+    with pytest.raises(NotImplementedError, match="use_lut"):
+        cmd_retrieve(cfg)
+
+
+def test_cli_forward_nadir_mesh(tmp_path, capsys):
+    """Nadir x mesh through the CLI (VERDICT.md round-2 item 8)."""
+    from spectrobot_tpu.cli import main
+    base = f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 256
+[scene]
+n_levels = 6
+z_top_m = 60e3
+[geometry]
+mode = "nadir"
+sec_theta = [1.0, 1.3]
+emissivity = 0.9
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 128
+"""
+    c_mesh = tmp_path / "nm.toml"
+    c_mesh.write_text(base + "mesh_ray = 2\nmesh_line = 2\nmesh_nu = 2\n"
+                      + f"[run]\noutput_dir = \"{tmp_path}/nm\"\n")
+    c_single = tmp_path / "ns.toml"
+    c_single.write_text(base + f"[run]\noutput_dir = \"{tmp_path}/ns\"\n")
+    assert main(["forward", str(c_mesh)]) == 0
+    assert main(["forward", str(c_single)]) == 0
+    capsys.readouterr()
+    with np.load(f"{tmp_path}/nm/forward.npz") as z:
+        I_m = z["radiance"]
+    with np.load(f"{tmp_path}/ns/forward.npz") as z:
+        I_s = z["radiance"]
+    np.testing.assert_allclose(I_m, I_s, rtol=1e-10)
+
+
+def test_cli_mesh_halo_parity(tmp_path, capsys):
+    """compute.mesh_halo (nu-halo line distribution) matches the line-psum
+    mesh through the CLI.  Grid span 14 cm-1 over mesh_nu=2 -> shard width
+    7; cutoff set to 6 to satisfy the exactness guard."""
+    from spectrobot_tpu.cli import main
+    base = f"""
+[grid]
+nu_min = 660.0
+nu_max = 674.0
+n_points = 256
+[scene]
+n_levels = 6
+z_top_m = 60e3
+[geometry]
+tangent_heights_km = [10.0, 30.0]
+n_sub = 2
+[compute]
+dtype = "float64"
+chunk = 128
+cutoff_cm1 = 6.0
+mesh_ray = 2
+mesh_line = 2
+mesh_nu = 2
+"""
+    c_halo = tmp_path / "h.toml"
+    c_halo.write_text(base + "mesh_halo = true\n"
+                      + f"[run]\noutput_dir = \"{tmp_path}/h\"\n")
+    c_psum = tmp_path / "p.toml"
+    c_psum.write_text(base + f"[run]\noutput_dir = \"{tmp_path}/p\"\n")
+    assert main(["forward", str(c_halo)]) == 0
+    assert main(["forward", str(c_psum)]) == 0
+    capsys.readouterr()
+    with np.load(f"{tmp_path}/h/forward.npz") as z:
+        I_h = z["radiance"]
+    with np.load(f"{tmp_path}/p/forward.npz") as z:
+        I_p = z["radiance"]
+    np.testing.assert_allclose(I_h, I_p, rtol=1e-10)
+
+
+def test_cli_fov_retrieval(tmp_path, capsys):
+    """[instrument] FOV smearing reachable from the config (VERDICT.md
+    round-2 item 7): forward shape is per OBSERVED ray, and a config-driven
+    limb retrieval with FOV converges on the emulated mesh."""
+    from spectrobot_tpu.cli import main
+    base = _TINY.replace("n_channels = 40",
+                         "n_channels = 40\nfov_fwhm_km = 4.0\nfov_n_fine = 8")
+    c = tmp_path / "fov.toml"
+    c.write_text(base + f"[run]\noutput_dir = \"{tmp_path}/fov\"\n")
+    assert main(["forward", str(c)]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["radiance_shape"] == [2, 40]      # observed rays, not 8
+
+    c_mesh = tmp_path / "fovm.toml"
+    c_mesh.write_text(base.replace("chunk = 128",
+                                   "chunk = 128\nmesh_ray = 2\nmesh_line = 2"
+                                   "\nmesh_nu = 2")
+                      + f"[run]\noutput_dir = \"{tmp_path}/fovm\"\n")
+    assert main(["retrieve", str(c_mesh)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["converged"] is True
+
+
+def test_cli_stop_reason_reported(tmp_path, capsys):
+    """Honest convergence reporting (VERDICT.md round-2 weak item 7): a
+    max_iter-limited run says so instead of a bare converged: false."""
+    from spectrobot_tpu.cli import main
+    c = tmp_path / "mi.toml"
+    c.write_text(_TINY.replace("max_iter = 8", "max_iter = 1")
+                 + f"[run]\noutput_dir = \"{tmp_path}/mi\"\n")
+    assert main(["retrieve", str(c)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["converged"] is False
+    assert out["stop_reason"] == "max_iter"
+    assert "max_iter" in out["status"]
+    with np.load(f"{tmp_path}/mi/retrieval.npz") as z:
+        assert str(z["stop_reason"]) == "max_iter"
+
+
+def test_no_silently_ignored_config_flags():
+    """Tripwire (VERDICT.md round-2 weak item 1): every config key must at
+    least be REFERENCED by the driver layer — a key that appears nowhere in
+    cli.py/config consumers is a silent no-op waiting to happen.  (This
+    cannot prove semantic honouring, but catches dropped wiring like the
+    round-2 `use_lut`-ignored-in-retrieve bug.)"""
+    import dataclasses
+    import os
+
+    import spectrobot_tpu.cli as cli_mod
+    from spectrobot_tpu import config as config_mod
+
+    src = open(cli_mod.__file__).read()
+    # Keys consumed by the scene/obs builders inside cli.py or by modules it
+    # delegates to explicitly (checked by name below).
+    for section in dataclasses.fields(config_mod.Config):
+        for f in dataclasses.fields(section.type if not isinstance(
+                section.type, str) else getattr(config_mod, section.type)):
+            key = f.name
+            assert key in src, (
+                f"config key [{section.name}] {key} is never referenced in "
+                f"cli.py — either wire it or fail loudly on use")
