@@ -275,12 +275,36 @@ def cmd_forward(cfg) -> dict:
     # Mesh path (C20-C23).
     use_mesh, mesh_shape = _mesh_plan(cfg)
     m_ray, m_line, m_nu = mesh_shape
-    if use_mesh and cfg.compute.use_lut:
-        raise NotImplementedError(
-            "compute.use_lut with compute.mesh_* is not wired yet — run the "
-            "LUT tier single-device or drop one of the two flags")
     t0 = time.time()
-    if use_mesh:
+    if use_mesh and cfg.compute.use_lut:
+        # LUT x mesh (parallel/sharded_lut.py): tables shard over 'nu',
+        # Curtis-Godson states over 'ray'; no line axis exists.
+        from spectrobot_tpu.parallel.mesh import make_mesh
+        from spectrobot_tpu.parallel.sharded_lut import (
+            sharded_lut_radiance_fn, stage_lut_sharded,
+        )
+        n_rays = int(h_t.shape[0]) if is_limb else int(sec.shape[0])
+        assert n_rays % m_ray == 0, "ray count must divide mesh_ray"
+        assert cfg.grid.n_points % m_nu == 0, "n_points must divide mesh_nu"
+        mesh = make_mesh(mesh_shape)
+        lut, src = _get_lut(cfg, nu, dl, species_names, atm, nlte)
+        if is_limb:
+            cg = limb_path_cg(atm, species_names, h_t, planet,
+                              cfg.geometry.n_sub)
+            I_bg = None
+        else:
+            from spectrobot_tpu.ops.planck import planck_nu
+            cg = nadir_path_cg(atm, species_names, sec, cfg.geometry.n_sub)
+            I_bg = emis * planck_nu(nu, cfg.geometry.t_surface)
+        f = sharded_lut_radiance_fn(
+            mesh, nlte_tier=nlte is not None, has_background=not is_limb,
+            cia_pairs=(None if cia is None else (cia.pair_a, cia.pair_b)),
+            is_limb=is_limb, emissivity=emis)
+        I = f(stage_lut_sharded(mesh, lut), cg, nlte, I_bg=I_bg, cia=cia)
+        print(f"mesh LUT forward over "
+              f"{dict(zip(('ray', 'line', 'nu'), mesh_shape))} ({src})",
+              file=sys.stderr)
+    elif use_mesh:
         from spectrobot_tpu.parallel.mesh import make_mesh
         from spectrobot_tpu.parallel.sharded import (
             pad_lines_for_mesh, partition_lines_by_nu, sharded_radiance_fn,
@@ -481,10 +505,6 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     x0, unravel = flatten_state(state0)
 
     use_mesh, mesh_shape = _mesh_plan(cfg)
-    if use_mesh and cfg.compute.use_lut:
-        raise NotImplementedError(
-            "compute.use_lut with compute.mesh_* is not wired yet — run the "
-            "LUT retrieval single-device or drop one of the two flags")
     oe_sharded = None
     if use_mesh:
         # Distributed retrieval (C26 + C16, parallel/oe.py): sharded forward,
@@ -497,6 +517,11 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
         assert n_rays % m_ray == 0, "ray count must divide mesh_ray"
         assert cfg.grid.n_points % m_nu == 0, "n_points must divide mesh_nu"
         mesh = make_mesh(mesh_shape)
+        lut = None
+        if cfg.compute.use_lut:
+            # LUT x mesh retrieval: tables shard over 'nu'; each LM
+            # iteration costs bilinear lookups, not line sums.
+            lut, lut_src = _get_lut(cfg, nu, dl, species_names, atm, nlte)
         oe_sharded = make_sharded_oe(
             mesh, atm, dl, nu, species_names, planet, h_t,
             state_template=state0, ils_W=W, fov_V=fov_V, nlte=nlte,
@@ -504,12 +529,13 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
             cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
             nu_off=nu_off, engine=engine, nu_halo=cfg.compute.mesh_halo,
             cia=cia, sec_theta=sec, T_surface=cfg.geometry.t_surface,
-            emissivity=emis)
+            emissivity=emis, lut=lut)
         fwd_flat, jac = oe_sharded.forward_flat, oe_sharded.jacobian
         print(f"mesh retrieval over "
               f"{dict(zip(('ray', 'line', 'nu'), mesh_shape))} "
-              f"engine={engine}"
-              f"{' nu-halo' if cfg.compute.mesh_halo else ''}",
+              + (f"LUT tier ({lut_src})" if lut is not None else
+                 f"engine={engine}"
+                 f"{' nu-halo' if cfg.compute.mesh_halo else ''}"),
               file=sys.stderr)
     elif cfg.compute.use_lut:
         # LUT runtime retrieval (VERDICT.md round-2 item 4: the reference

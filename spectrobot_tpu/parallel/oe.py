@@ -105,6 +105,7 @@ def make_sharded_oe(
     sec_theta: Optional[jnp.ndarray] = None,
     T_surface=None,
     emissivity: float = 1.0,
+    lut=None,
 ) -> ShardedOE:
     """Build the sharded retrieval callables for a limb scene.
 
@@ -128,6 +129,11 @@ def make_sharded_oe(
     into observed fields of view (C14) — like the ILS across 'nu', the FOV
     mixes across the sharded 'ray' axis OUTSIDE the shard_map, so GSPMD
     inserts the gather and the Jacobian row axes drop 'ray'.
+
+    ``lut`` (ops.lut.OpacityLUT / NLTELUT) switches the forward to the
+    sharded LUT runtime tier (parallel/sharded_lut.py): tables shard over
+    'nu', each LM iteration costs bilinear lookups instead of line sums,
+    and ``lines``/``engine``/``nu_halo`` are ignored (no line axis exists).
     """
     if unravel is None:
         from spectrobot_tpu.retrieval.state import flatten_state
@@ -137,7 +143,9 @@ def make_sharded_oe(
         from jax.flatten_util import ravel_pytree
         n_x = int(ravel_pytree(state_template)[0].shape[0])
 
-    if nu_halo:
+    if lut is not None:
+        dlp = None                       # LUT tier: no line axis at all
+    elif nu_halo:
         dlp = partition_lines_by_nu(
             lines, np.asarray(nu_grid), mesh.shape["nu"],
             cutoff_cm1=cutoff_cm1, line_shards=mesh.shape["line"])
@@ -147,11 +155,33 @@ def make_sharded_oe(
     assert is_limb or sec_theta is not None, \
         "pass tangent_heights_m (limb) or sec_theta (nadir)"
     cia_pairs = None if cia is None else (cia.pair_a, cia.pair_b)
-    fwd_sharded = sharded_radiance_fn(
-        mesh, has_nlte=nlte is not None, has_background=not is_limb,
-        variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
-        engine=engine, interpret=interpret, nu_halo=nu_halo,
-        cia_pairs=cia_pairs, is_limb=is_limb, emissivity=emissivity)
+    if lut is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from spectrobot_tpu.ops.lut import NLTELUT
+        from spectrobot_tpu.parallel.sharded_lut import (
+            sharded_lut_radiance_fn, stage_lut_sharded,
+        )
+        nlte_tier = isinstance(lut, NLTELUT)
+        assert nlte_tier == (nlte is not None), \
+            "pass nlte together with an NLTELUT (and only then)"
+        fwd_lut = sharded_lut_radiance_fn(
+            mesh, nlte_tier=nlte_tier, has_background=not is_limb,
+            cia_pairs=cia_pairs, is_limb=is_limb, emissivity=emissivity)
+        lut_s = stage_lut_sharded(mesh, lut)
+        rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        nlte_s = None if nlte is None else nlte._replace(
+            e_level=rep(nlte.e_level), t_vib=rep(nlte.t_vib))
+        cia_s = None if cia is None else cia._replace(
+            tables=jax.device_put(
+                cia.tables, NamedSharding(mesh, P(None, None, "nu"))),
+            T_grid=rep(cia.T_grid))
+    else:
+        fwd_sharded = sharded_radiance_fn(
+            mesh, has_nlte=nlte is not None, has_background=not is_limb,
+            variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
+            engine=engine, interpret=interpret, nu_halo=nu_halo,
+            cia_pairs=cia_pairs, is_limb=is_limb, emissivity=emissivity)
     # Static inputs staged once with their mesh layout (cg placeholder is
     # discarded — the retrieval recomputes it from the state every call).
     if is_limb:
@@ -160,11 +190,12 @@ def make_sharded_oe(
     else:
         from spectrobot_tpu.forward.geometry import nadir_path_cg
         cg0 = nadir_path_cg(base_atm, species, sec_theta, n_sub)
-    staged = stage_sharded(mesh, nu_grid, dlp, cg0, nlte=nlte, cia=cia)
-    nu_s, lines_s, _, nlte_s, _ = staged[:5]
-    cia_s = staged[5] if cia is not None else None
-    if nu_off is None:
-        nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
+    if lut is None:
+        staged = stage_sharded(mesh, nu_grid, dlp, cg0, nlte=nlte, cia=cia)
+        nu_s, lines_s, _, nlte_s, _ = staged[:5]
+        cia_s = staged[5] if cia is not None else None
+        if nu_off is None:
+            nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
 
     def model(x):
         state = unravel(x)
@@ -178,8 +209,11 @@ def make_sharded_oe(
             cg = nadir_path_cg(atm, species, sec_theta, n_sub)
             ts = state.get("T_surface", T_surface)
             bg = emissivity * planck_nu(nu_grid, ts)
-        I = fwd_sharded(nu_s, lines_s, cg, nlte_s, I_bg=bg, nu_off=nu_off,
-                        cia=cia_s)  # [R, P]
+        if lut is not None:
+            I = fwd_lut(lut_s, cg, nlte_s, I_bg=bg, cia=cia_s)  # [R, P]
+        else:
+            I = fwd_sharded(nu_s, lines_s, cg, nlte_s, I_bg=bg,
+                            nu_off=nu_off, cia=cia_s)  # [R, P]
         if fov_V is not None:
             from spectrobot_tpu.ops.ils import apply_fov
             I = apply_fov(I, fov_V)

@@ -483,13 +483,30 @@ def test_cli_retrieve_lut_runtime(tmp_path, capsys):
     np.testing.assert_allclose(x_lut[:6], x_dir[:6], atol=1.5)
 
 
-def test_cli_mesh_lut_rejected(tmp_path):
-    """mesh x LUT must fail LOUDLY, not silently ignore the flag."""
-    from spectrobot_tpu.cli import cmd_retrieve
-    cfg = load_config(None, {"compute.use_lut": "true",
-                             "compute.mesh_nu": "2", "compute.mesh_ray": "2"})
-    with pytest.raises(NotImplementedError, match="use_lut"):
-        cmd_retrieve(cfg)
+def test_cli_mesh_lut_runtime(tmp_path, capsys):
+    """mesh x LUT (the last feature-matrix cell): the sharded LUT forward
+    matches the single-device LUT forward, and a mesh LUT retrieval
+    converges."""
+    from spectrobot_tpu.cli import main
+    base = _TINY.replace("chunk = 128", "chunk = 128\nuse_lut = true")
+    c_mesh = tmp_path / "ml.toml"
+    c_mesh.write_text(base.replace("use_lut = true",
+                                   "use_lut = true\nmesh_ray = 2\nmesh_nu = 4")
+                      + f"[run]\noutput_dir = \"{tmp_path}/ml\"\n")
+    c_single = tmp_path / "sl.toml"
+    c_single.write_text(base + f"[run]\noutput_dir = \"{tmp_path}/sl\"\n")
+    assert main(["forward", str(c_mesh)]) == 0
+    assert main(["forward", str(c_single)]) == 0
+    capsys.readouterr()
+    with np.load(f"{tmp_path}/ml/forward.npz") as z:
+        I_m = z["radiance"]
+    with np.load(f"{tmp_path}/sl/forward.npz") as z:
+        I_s = z["radiance"]
+    np.testing.assert_allclose(I_m, I_s, rtol=1e-10)
+
+    assert main(["retrieve", str(c_mesh)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["converged"] is True
 
 
 def test_cli_forward_nadir_mesh(tmp_path, capsys):

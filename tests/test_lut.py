@@ -133,3 +133,43 @@ def test_mesh_build_nlte_matches_serial():
     for f in ("sigma_l", "sigma_u", "sigma_e"):
         np.testing.assert_allclose(np.asarray(getattr(lut_m, f)),
                                    np.asarray(getattr(lut_s, f)), rtol=1e-12)
+
+
+def test_sharded_lut_forward_and_jacobian_parity():
+    """LUT x mesh at the library level (parallel/sharded_lut.py): the
+    sharded LUT forward AND its OE Jacobian (vmap-of-jvp through the
+    bilinear tables) match the single-device LUT path to f64 roundoff on
+    the 8-device emulated mesh."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 emulated devices")
+    from spectrobot_tpu.parallel.mesh import make_mesh
+    from spectrobot_tpu.parallel.oe import make_sharded_oe
+    from spectrobot_tpu.retrieval.state import (
+        build_forward_lut, flatten_state, make_state,
+    )
+
+    dl = device_lines_from_linelist(co2_15um_band(j_max=12), [(2, 1)],
+                                    dtype=jnp.float64)
+    atm = mars_standard_atmosphere(n_lev=7, z_top=60e3)
+    nu = jnp.asarray(np.linspace(660.0, 674.0, 256))
+    lut = build_lut(nu, dl, 1, T_min=120.0, T_max=300.0, n_T=9,
+                    p_min=1e-3, p_max=1.2e3, n_p=11, chunk=128)
+    h_t = jnp.asarray([8e3, 16e3, 24e3, 32e3])
+    state0 = make_state(atm, [])
+    x0, unravel = flatten_state(state0)
+
+    fwd = build_forward_lut(atm, lut, ["CO2"], MARS, tangent_heights_m=h_t,
+                            n_sub=2)
+    fwd_flat = jax.jit(lambda x: fwd(unravel(x)))
+    y_ref = np.asarray(fwd_flat(x0))
+    K_ref = np.asarray(jax.jacfwd(fwd_flat)(x0))
+
+    mesh = make_mesh((2, 2, 2))
+    oe = make_sharded_oe(mesh, atm, dl, nu, ["CO2"], MARS, h_t,
+                         state_template=state0, n_sub=2, lut=lut)
+    np.testing.assert_allclose(np.asarray(oe.forward_flat(x0)), y_ref,
+                               rtol=1e-10, atol=np.abs(y_ref).max() * 1e-12)
+    np.testing.assert_allclose(np.asarray(oe.jacobian(jnp.asarray(x0))),
+                               K_ref, rtol=1e-8, atol=1e-16)
