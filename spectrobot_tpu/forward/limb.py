@@ -64,6 +64,24 @@ def layer_tau(
 
     R, NL, S = cg.u.shape
     lay_ids = jnp.arange(NL, dtype=jnp.int32)
+    if nu_off is None:
+        nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
+    # Pallas engine: when the grid and line centers are CONCRETE at trace
+    # time (closure constants of a jitted forward — the build_forward
+    # case), bake real ragged block windows in as static tables so the
+    # kernel skips provably-out-of-cutoff blocks instead of just
+    # region-dispatching them (bit-identical results; the in-kernel cutoff
+    # mask is unchanged).  Traced centers (e.g. inside shard_map bodies)
+    # fall back to all-blocks.
+    windows = None
+    if engine == "pallas" and cutoff_cm1 is not None and not (
+            isinstance(nu_off, jax.core.Tracer)
+            or isinstance(lines.nu0, jax.core.Tracer)):
+        import numpy as np
+
+        from spectrobot_tpu.ops.pallas_opacity import static_windows
+        windows = static_windows(np.asarray(nu_off), np.asarray(lines.nu0),
+                                 cutoff_cm1=cutoff_cm1)
     # Accumulation op with ANALYTIC derivatives: under jacfwd the Voigt
     # basis is shared across every Jacobian column (SURVEY.md 8.4 hard part
     # 3); analytic_jvp='rev' swaps in the custom-VJP op (grad/jacrev via the
@@ -72,7 +90,8 @@ def layer_tau(
     if mode is not None:
         acc_op = make_accumulate_op(chunk=chunk, variant=variant,
                                     cutoff_cm1=cutoff_cm1, engine=engine,
-                                    interpret=interpret, mode=mode)
+                                    interpret=interpret, mode=mode,
+                                    windows=windows)
     else:
         from spectrobot_tpu.ops.opacity import accumulate_jnp
         from spectrobot_tpu.ops.opacity import KernelLines as _KL
@@ -80,9 +99,6 @@ def layer_tau(
         def acc_op(nu, nc, sx, yy, am):
             return accumulate_jnp(nu, _KL(nc, sx, yy, am), chunk=chunk,
                                   variant=variant, cutoff_cm1=cutoff_cm1)
-
-    if nu_off is None:
-        nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
 
     def one(u_sp, T_sp, p_sp, ps_sp, T_air, lay_idx):
         sp = lines.species_idx

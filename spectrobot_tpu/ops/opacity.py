@@ -312,14 +312,17 @@ def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
 def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
                           block_l: int = 256,
                           cutoff_cm1: Optional[float] = 25.0,
-                          interpret: bool = False) -> jnp.ndarray:
-    """Pallas stage-2 accumulation callable INSIDE jit: every line block is
-    visited for every tile (window tables are static all-blocks), with the
-    exact in-kernel |dnu| <= cutoff mask and block-level region dispatch
-    doing the skipping work.  No host-side data needed, so this composes
-    with jit/vmap — the kernel engine for the DIFFERENTIABLE paths.  The
-    windowed variant (ops.pallas_opacity.accumulate_pallas) stays faster for
-    very wide grids where most blocks are skippable."""
+                          interpret: bool = False,
+                          windows=None) -> jnp.ndarray:
+    """Pallas stage-2 accumulation callable INSIDE jit: by default every
+    line block is visited for every tile (window tables are static
+    all-blocks), with the exact in-kernel |dnu| <= cutoff mask and
+    block-level region dispatch doing the skipping work.  No host-side data
+    needed, so this composes with jit/vmap — the kernel engine for the
+    DIFFERENTIABLE paths.  ``windows`` = (starts, counts, max_blocks) from
+    :func:`ops.pallas_opacity.static_windows` (host-known grid/centers —
+    the build_forward case) bakes REAL ragged windows in as compile-time
+    constants, skipping provably-out-of-cutoff blocks entirely."""
     from spectrobot_tpu.ops.pallas_opacity import (
         _accumulate_padded, _round_up)
 
@@ -344,17 +347,31 @@ def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
         kl.amps.astype(jnp.float32))
     n_tiles = Pp // tile_p
     n_blocks = Lp // block_l
-    starts = jnp.zeros((n_tiles,), jnp.int32)
-    counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+    if windows is None:
+        starts = jnp.zeros((n_tiles,), jnp.int32)
+        counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+        max_blocks = n_blocks
+    else:
+        starts, counts, max_blocks = windows
+        starts, counts = jnp.asarray(starts), jnp.asarray(counts)
     out = _accumulate_padded(
         nu_pad.reshape(Pp, 1), padl(kl.nu_c, far_line).reshape(1, Lp),
         padl(kl.scale_x, 1e6).reshape(1, Lp), padl(kl.y, 1e6).reshape(1, Lp),
-        amps_p, starts, counts, max_blocks=n_blocks, tile_p=tile_p,
+        amps_p, starts, counts, max_blocks=int(max_blocks), tile_p=tile_p,
         block_l=block_l, cutoff_cm1=cutoff_cm1, interpret=interpret)
     return out[:, :P]
 
 
-def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256):
+def _hashable_windows(windows):
+    """Static ragged windows as a hashable triple (jit static argument)."""
+    if windows is None:
+        return None
+    st, ct, mb = windows
+    return (tuple(int(x) for x in st), tuple(int(x) for x in ct), int(mb))
+
+
+def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
+                         windows=None):
     """Fused Pallas tangent of the accumulation (VERDICT.md round-1 item 4).
 
     Returns tangent(nu, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps) ->
@@ -380,7 +397,7 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256):
         basis_contract_pallas_batch_jit, basis_contract_pallas_jit)
 
     kw = dict(tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
-              interpret=interpret)
+              interpret=interpret, windows=_hashable_windows(windows))
 
     def coeffs(sx, amps, d_nu_c, d_sx, d_y, d_amps):
         """Basis coefficient rows; broadcasts over any leading batch axes
@@ -496,7 +513,7 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256):
 def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                        cutoff_cm1: Optional[float] = 25.0,
                        engine: str = "jnp", interpret: bool = False,
-                       mode: str = "fwd"):
+                       mode: str = "fwd", windows=None):
     """Build accumulate(nu_grid, nu_c, scale_x, y, amps) -> [n_out, P] with
     ANALYTIC derivatives.  nu_grid is non-differentiated (static instrument
     grid; its tangent/cotangent is ignored/zero).  engine: 'jnp' (XLA, any
@@ -536,7 +553,8 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
         kl = KernelLines(nu_c, sx, y, amps)
         if engine == "pallas":
             return accumulate_pallas_jit(nu_grid, kl, cutoff_cm1=cutoff_cm1,
-                                         interpret=interpret).astype(
+                                         interpret=interpret,
+                                         windows=windows).astype(
                 jnp.result_type(nu_grid))
         return accumulate_jnp(nu_grid, kl, **kw)
 
@@ -559,7 +577,8 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
         return acc
 
     tangent_pallas = (_make_tangent_pallas(cutoff_cm1=cutoff_cm1,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           windows=windows)
                       if engine == "pallas" else None)
 
     @jax.custom_jvp

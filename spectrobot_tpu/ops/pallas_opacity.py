@@ -233,6 +233,43 @@ def _block_windows(nu_host: np.ndarray, nuc_host: np.ndarray, tile_p: int,
     return starts, counts
 
 
+def static_windows(nu_host: np.ndarray, nu0_host: np.ndarray, *,
+                   tile_p: int = 256, block_l: int = 256,
+                   cutoff_cm1: Optional[float] = 25.0,
+                   shift_margin_cm1: float = 1.0):
+    """Host-side ragged block windows for the JIT-COMPOSABLE kernel entry
+    points: when the (static) grid and unshifted line centers are concrete
+    at trace time — closure constants of a jitted forward, the common case
+    (retrieval.state.build_forward) — the per-tile [start, count) tables can
+    be baked in as compile-time constants, and the kernel skips every block
+    provably outside the wing cutoff instead of relying on region dispatch
+    to make it cheap (the MXU contractions still run for dispatched blocks;
+    skipping them is ~1.5-2x at production scale).
+
+    Pads exactly the way :func:`accumulate_pallas_jit` /
+    :func:`basis_contract_pallas_jit` pad (far fills), and widens the
+    window by ``shift_margin_cm1`` to cover any pressure shift, so results
+    stay bit-identical to the all-blocks evaluation (the in-kernel
+    |dnu| <= cutoff mask is unchanged and exact).
+
+    Returns (starts [n_tiles] int32, counts [n_tiles] int32, max_blocks).
+    """
+    nu_host = np.asarray(nu_host, np.float32)
+    nu0_host = np.asarray(nu0_host, np.float32)
+    P, L = len(nu_host), len(nu0_host)
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    nu_pad = np.full(Pp, (nu_host.max() if P else 0.0) + 1e6, np.float32)
+    nu_pad[:P] = nu_host
+    nu0_pad = np.full(Lp, (nu0_host.max() if L else 0.0) + 1e7, np.float32)
+    nu0_pad[:L] = nu0_host
+    win_cut = None if cutoff_cm1 is None else cutoff_cm1 + shift_margin_cm1
+    starts, counts = _block_windows(nu_pad, nu0_pad, tile_p, block_l,
+                                    win_cut)
+    max_blocks = max(int(counts.max()) if counts.size else 1, 1)
+    return starts, counts, max_blocks
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_blocks", "tile_p", "block_l", "cutoff_cm1",
@@ -513,17 +550,21 @@ def _basis_batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret"))
+    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret",
+                     "windows"))
 def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
                               *, tile_p: int = 256, block_l: int = 256,
                               cutoff_cm1: Optional[float] = 25.0,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              windows=None) -> jnp.ndarray:
     """Fused basis contraction, jit-composable (single state).
 
-    nu_c/sx/y: [L]; C1..C4: [R, L].  Returns [R, P] float32.  Every line
-    block is visited for every tile (static all-blocks windows, like
-    :func:`spectrobot_tpu.ops.opacity.accumulate_pallas_jit`); the in-kernel
-    cutoff mask and block-level region dispatch do the skipping work.
+    nu_c/sx/y: [L]; C1..C4: [R, L].  Returns [R, P] float32.  By default
+    every line block is visited for every tile (static all-blocks windows,
+    like :func:`spectrobot_tpu.ops.opacity.accumulate_pallas_jit`); the
+    in-kernel cutoff mask and block-level region dispatch do the skipping
+    work.  ``windows`` (a HASHABLE (starts_tuple, counts_tuple, max_blocks)
+    triple — see opacity._hashable_windows) bakes real ragged windows in.
     """
     P = nu_grid.shape[0]
     L = nu_c.shape[0]
@@ -540,15 +581,21 @@ def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
         C.astype(jnp.float32))
     n_tiles = Pp // tile_p
     n_blocks = Lp // block_l
-    starts = jnp.zeros((n_tiles,), jnp.int32)
-    counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+    if windows is None:
+        starts = jnp.zeros((n_tiles,), jnp.int32)
+        counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+        max_blocks = n_blocks
+    else:
+        st, ct, max_blocks = windows
+        starts = jnp.asarray(st, jnp.int32)
+        counts = jnp.asarray(ct, jnp.int32)
 
     def line_map(i, j, nblk, st):
         return (0, jnp.minimum(st[i] + j, n_blocks - 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, n_blocks),
+        grid=(n_tiles, int(max_blocks)),
         in_specs=[
             pl.BlockSpec((tile_p, 1), lambda i, j, *_: (i, 0)),
             pl.BlockSpec((1, block_l), line_map),
@@ -575,14 +622,17 @@ def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret"))
+    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret",
+                     "windows"))
 def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
                                     *, tile_p: int = 256, block_l: int = 256,
                                     cutoff_cm1: Optional[float] = 25.0,
-                                    interpret: bool = False) -> jnp.ndarray:
+                                    interpret: bool = False,
+                                    windows=None) -> jnp.ndarray:
     """Batched fused basis contraction, jit-composable.
 
     nu_c/sx/y: [B, L]; C1..C4: [B, R, L].  Returns [B, R, P] float32.
+    ``windows``: hashable static ragged windows (single-state docstring).
     """
     P = nu_grid.shape[0]
     B, L = nu_c.shape
@@ -599,8 +649,14 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
         C.astype(jnp.float32))
     n_tiles = Pp // tile_p
     n_blocks = Lp // block_l
-    starts = jnp.zeros((n_tiles,), jnp.int32)
-    counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+    if windows is None:
+        starts = jnp.zeros((n_tiles,), jnp.int32)
+        counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+        max_blocks = n_blocks
+    else:
+        st, ct, max_blocks = windows
+        starts = jnp.asarray(st, jnp.int32)
+        counts = jnp.asarray(ct, jnp.int32)
 
     def line_map(b, i, j, nblk, st):
         return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
@@ -610,7 +666,7 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, n_tiles, n_blocks),
+        grid=(B, n_tiles, int(max_blocks)),
         in_specs=[
             pl.BlockSpec((tile_p, 1), lambda b, i, j, *_: (i, 0)),
             pl.BlockSpec((1, 1, block_l), line_map),

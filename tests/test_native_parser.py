@@ -58,9 +58,18 @@ def test_native_handles_edge_inputs():
 
 @needs_native
 def test_native_is_faster():
+    # Best-of-3 per parser: a single-shot comparison flakes under full-suite
+    # load on this 2-core host (observed round 3); the minimum is robust to
+    # scheduler noise while still asserting the native path's advantage
+    # (it wins by ~10-50x on millions of records).
     text = _sample_text(5000)
-    t0 = time.time(); parse_par_text(text, use_native="never"); t_np = time.time() - t0
-    t0 = time.time(); parse_par_text(text, use_native="always"); t_cc = time.time() - t0
-    # The C++ parser should win clearly on 5k records (it wins by ~10-50x on
-    # millions); keep the bar modest to avoid flaky CI timing.
+    def best(mode):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            parse_par_text(text, use_native=mode)
+            ts.append(time.time() - t0)
+        return min(ts)
+    t_np = best("never")
+    t_cc = best("always")
     assert t_cc < t_np, (t_cc, t_np)

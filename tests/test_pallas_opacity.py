@@ -121,3 +121,31 @@ def test_pallas_jit_engine_full_forward_parity():
         nu, dl, cg, chunk=128, nu_off=nu_off, engine="pallas",
         interpret=True))())
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=ref.max() * 1e-6)
+
+
+def test_static_windows_bit_parity():
+    """Baked ragged windows (ops.pallas_opacity.static_windows) must be
+    BIT-IDENTICAL to the all-blocks evaluation: windows only skip blocks
+    the |dnu| <= cutoff mask would zero anyway (round-3 perf item — the
+    windowed fused engine is ~20% faster at production scale)."""
+    from spectrobot_tpu.ops.opacity import (
+        KernelLines, accumulate_pallas_jit, line_kernel_inputs)
+    from spectrobot_tpu.ops.pallas_opacity import static_windows
+    from spectrobot_tpu.data.synth import random_lines
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    ll = random_lines(700, 600.0, 750.0, seed=5)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32,
+                                    nu_ref=0.0)
+    kl = line_kernel_inputs(dl, 220.0, 300.0, 100.0,
+                            amp_weights=jnp.ones((2, dl.n_lines),
+                                                 jnp.float32))
+    nu = jnp.asarray(np.linspace(600.0, 750.0, 2048), jnp.float32)
+    win = static_windows(np.asarray(nu), np.asarray(dl.nu0),
+                         cutoff_cm1=25.0)
+    assert win[2] < (700 + 255) // 256 + 1   # something was actually skipped
+    ref = np.asarray(accumulate_pallas_jit(nu, kl, cutoff_cm1=25.0,
+                                           interpret=True))
+    got = np.asarray(accumulate_pallas_jit(nu, kl, cutoff_cm1=25.0,
+                                           interpret=True, windows=win))
+    np.testing.assert_array_equal(got, ref)
