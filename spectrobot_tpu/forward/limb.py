@@ -73,15 +73,17 @@ def layer_tau(
     # region-dispatching them (bit-identical results; the in-kernel cutoff
     # mask is unchanged).  Traced centers (e.g. inside shard_map bodies)
     # fall back to all-blocks.
-    windows = None
+    windows = windows_T = None
     if engine == "pallas" and cutoff_cm1 is not None and not (
             isinstance(nu_off, jax.core.Tracer)
             or isinstance(lines.nu0, jax.core.Tracer)):
         import numpy as np
 
-        from spectrobot_tpu.ops.pallas_opacity import static_windows
-        windows = static_windows(np.asarray(nu_off), np.asarray(lines.nu0),
-                                 cutoff_cm1=cutoff_cm1)
+        from spectrobot_tpu.ops.pallas_opacity import (
+            static_windows, static_windows_T)
+        nu_h, nc_h = np.asarray(nu_off), np.asarray(lines.nu0)
+        windows = static_windows(nu_h, nc_h, cutoff_cm1=cutoff_cm1)
+        windows_T = static_windows_T(nu_h, nc_h, cutoff_cm1=cutoff_cm1)
     # Accumulation op with ANALYTIC derivatives: under jacfwd the Voigt
     # basis is shared across every Jacobian column (SURVEY.md 8.4 hard part
     # 3); analytic_jvp='rev' swaps in the custom-VJP op (grad/jacrev via the
@@ -91,7 +93,7 @@ def layer_tau(
         acc_op = make_accumulate_op(chunk=chunk, variant=variant,
                                     cutoff_cm1=cutoff_cm1, engine=engine,
                                     interpret=interpret, mode=mode,
-                                    windows=windows)
+                                    windows=windows, windows_T=windows_T)
     else:
         from spectrobot_tpu.ops.opacity import accumulate_jnp
         from spectrobot_tpu.ops.opacity import KernelLines as _KL

@@ -513,7 +513,7 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
 def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                        cutoff_cm1: Optional[float] = 25.0,
                        engine: str = "jnp", interpret: bool = False,
-                       mode: str = "fwd", windows=None):
+                       mode: str = "fwd", windows=None, windows_T=None):
     """Build accumulate(nu_grid, nu_c, scale_x, y, amps) -> [n_out, P] with
     ANALYTIC derivatives.  nu_grid is non-differentiated (static instrument
     grid; its tangent/cotangent is ignored/zero).  engine: 'jnp' (XLA, any
@@ -531,14 +531,18 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
     ``custom_transpose`` has a batching rule in current JAX).
 
     mode='rev': ``jax.custom_vjp`` — grad / jacrev / jax.vjp get the
-    ANALYTIC transpose (:func:`_tangent_transpose`): one Voigt basis pass +
-    six MXU contractions per cotangent, with NO stored linearisation of the
-    line sum (the backward recomputes wofz from the saved flat inputs —
-    O(L + n_out*P) residual memory instead of AD's O(chunk*P) per-scan-step
-    stash).  custom_vjp batches under vmap, so this composes with the
-    per-layer vmaps.  Forward-mode through the 'rev' op is unsupported
-    (JAX's custom_vjp forbids jvp); pick the mode matching the caller's AD
-    direction.
+    ANALYTIC transpose: one Voigt basis pass + six MXU contractions per
+    cotangent, with NO stored linearisation of the line sum (the backward
+    recomputes wofz from the saved flat inputs — O(L + n_out*P) residual
+    memory instead of AD's O(chunk*P) per-scan-step stash).  With
+    engine='pallas' (round 3) the backward runs the IN-KERNEL transposed
+    basis contraction (:func:`pallas_opacity.basis_transpose_pallas_jit` —
+    cotangent x basis on the MXU, per-block output accumulating in VMEM,
+    ``windows_T`` skipping unreachable tiles); otherwise the jnp basis scan
+    (:func:`_tangent_transpose`).  custom_vjp batches under vmap, so this
+    composes with the per-layer vmaps.  Forward-mode through the 'rev' op
+    is unsupported (JAX's custom_vjp forbids jvp); pick the mode matching
+    the caller's AD direction.
     """
     kw = dict(chunk=chunk, variant=variant, cutoff_cm1=cutoff_cm1)
     if engine == "pallas" and variant != "humlicek4":
@@ -569,8 +573,22 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
 
         def acc_bwd(res, ct):
             nu_grid, nu_c, sx, y, amps = res
-            ct_nc, ct_sx, ct_y, ct_amps = _tangent_transpose(
-                nu_grid, nu_c, sx, y, amps, ct, **kw)
+            if engine == "pallas":
+                from spectrobot_tpu.ops.pallas_opacity import (
+                    basis_transpose_pallas_jit)
+                AbK, AbKx, AbxKx, AbKy = basis_transpose_pallas_jit(
+                    nu_grid, nu_c, sx, y, ct, cutoff_cm1=cutoff_cm1,
+                    interpret=interpret,
+                    windows_T=_hashable_windows(windows_T))
+                dt = jnp.result_type(nu_grid)
+                so = lambda M: jnp.sum(M.astype(dt) * amps, axis=0)
+                ct_amps = AbK.astype(dt)
+                ct_nc = -sx * so(AbKx)
+                ct_sx = so(AbxKx) / sx
+                ct_y = so(AbKy)
+            else:
+                ct_nc, ct_sx, ct_y, ct_amps = _tangent_transpose(
+                    nu_grid, nu_c, sx, y, amps, ct, **kw)
             return (jnp.zeros_like(nu_grid), ct_nc, ct_sx, ct_y, ct_amps)
 
         acc.defvjp(acc_fwd, acc_bwd)

@@ -691,6 +691,171 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
     return out[:, :, :P]
 
 
+def _tile_windows(nu_host: np.ndarray, nuc_host: np.ndarray, tile_p: int,
+                  block_l: int, cutoff: Optional[float]) -> Tuple[np.ndarray, np.ndarray]:
+    """Transpose of :func:`_block_windows`: for each LINE BLOCK, the
+    [start, count) of nu TILES it can reach given the wing cutoff."""
+    n_tiles = len(nu_host) // tile_p
+    n_blocks = len(nuc_host) // block_l
+    if cutoff is None:
+        return (np.zeros(n_blocks, dtype=np.int32),
+                np.full(n_blocks, n_tiles, dtype=np.int32))
+    blk_min = nuc_host.reshape(n_blocks, block_l).min(axis=1)
+    blk_max = nuc_host.reshape(n_blocks, block_l).max(axis=1)
+    tile_lo = nu_host.reshape(n_tiles, tile_p).min(axis=1)
+    tile_hi = nu_host.reshape(n_tiles, tile_p).max(axis=1)
+    starts = np.searchsorted(tile_hi, blk_min - cutoff, side="left")
+    ends = np.searchsorted(tile_lo, blk_max + cutoff, side="right")
+    starts = np.minimum(starts, n_tiles).astype(np.int32)
+    counts = np.maximum(ends - starts, 0).astype(np.int32)
+    return starts, counts
+
+
+def static_windows_T(nu_host: np.ndarray, nu0_host: np.ndarray, *,
+                     tile_p: int = 256, block_l: int = 256,
+                     cutoff_cm1: Optional[float] = 25.0,
+                     shift_margin_cm1: float = 1.0):
+    """Per-BLOCK tile windows for the transpose kernel (same padding and
+    margin conventions as :func:`static_windows`).  Returns (starts
+    [n_blocks], counts [n_blocks], max_tiles)."""
+    nu_host = np.asarray(nu_host, np.float32)
+    nu0_host = np.asarray(nu0_host, np.float32)
+    P, L = len(nu_host), len(nu0_host)
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    nu_pad = np.full(Pp, (nu_host.max() if P else 0.0) + 1e6, np.float32)
+    nu_pad[:P] = nu_host
+    nu0_pad = np.full(Lp, (nu0_host.max() if L else 0.0) + 1e7, np.float32)
+    nu0_pad[:L] = nu0_host
+    win_cut = None if cutoff_cm1 is None else cutoff_cm1 + shift_margin_cm1
+    starts, counts = _tile_windows(nu_pad, nu0_pad, tile_p, block_l, win_cut)
+    max_tiles = max(int(counts.max()) if counts.size else 1, 1)
+    return starts, counts, max_tiles
+
+
+def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
+                            y_ref, ct_ref, oK_ref, oKx_ref, oxKx_ref,
+                            oKy_ref, *, cutoff: Optional[float]):
+    """One (line-block, nu-tile) step of the TRANSPOSED basis contraction:
+
+        o*[r, l] += sum_p ct[r, p] * Basis*[p, l]
+
+    — the cotangent projections <ct, K>, <ct, Kx>, <ct, xKx>, <ct, Ky> that
+    reverse-mode AD needs (ops.opacity._tangent_transpose algebra), with the
+    basis evaluated IN-KERNEL and the per-block output accumulating in VMEM
+    across its tile window.  nu_ref: [TILE_P, 1]; nuc/sx/y_ref:
+    [1, BLOCK_L]; ct_ref: [R, TILE_P]; o*_ref: [R, BLOCK_L].
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        oK_ref[:, :] = jnp.zeros_like(oK_ref)
+        oKx_ref[:, :] = jnp.zeros_like(oKx_ref)
+        oxKx_ref[:, :] = jnp.zeros_like(oxKx_ref)
+        oKy_ref[:, :] = jnp.zeros_like(oKy_ref)
+
+    @pl.when(i < ntile_ref[j])
+    def _accum():
+        dnu = nu_ref[:, :] - nuc_ref[:, :]            # [TILE_P, BLOCK_L]
+        x = dnu * sx_ref[:, :]
+        y = jnp.broadcast_to(y_ref[:, :], x.shape)
+        np_ = nu_ref.shape[0]
+        gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0] - nu_ref[np_ - 1, 0],
+                                      nu_ref[0, 0] - nuc_ref[0, nuc_ref.shape[1] - 1]),
+                          0.0)
+        s_min = gap * jnp.min(sx_ref[:, :]) + jnp.min(y_ref[:, :])
+        K, Kx, xKx, Ky = _basis_tile(x, y, s_min)
+        if cutoff is not None:
+            m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
+            K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
+        # [R, TILE_P] x [TILE_P, BLOCK_L] -> [R, BLOCK_L] on the MXU.
+        dot = lambda B: jax.lax.dot_general(
+            ct_ref[:, :], B, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        oK_ref[:, :] += dot(K)
+        oKx_ref[:, :] += dot(Kx)
+        oxKx_ref[:, :] += dot(xKx)
+        oKy_ref[:, :] += dot(Ky)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret",
+                     "windows_T"))
+def basis_transpose_pallas_jit(nu_grid, nu_c, sx, y, ct,
+                               *, tile_p: int = 256, block_l: int = 256,
+                               cutoff_cm1: Optional[float] = 25.0,
+                               interpret: bool = False,
+                               windows_T=None):
+    """Transposed fused basis contraction, jit-composable (single state).
+
+    nu_c/sx/y: [L]; ct: [R, P].  Returns (AbK, AbKx, AbxKx, AbKy), each
+    [R, L] float32 — the cotangent-basis projections reverse-mode AD
+    contracts into (nu_c, sx, y, amps) cotangents (a cheap jnp epilogue).
+    ``windows_T`` (hashable, from :func:`static_windows_T`) skips tiles a
+    block provably cannot reach; default visits every tile.
+    """
+    P = nu_grid.shape[0]
+    L = nu_c.shape[0]
+    R = ct.shape[0]
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    far_nu = jnp.max(nu_grid).astype(jnp.float32) + 1e6
+    far_line = jnp.max(nu_c).astype(jnp.float32) + 1e7
+    nu_pad = jnp.full((Pp,), far_nu, jnp.float32).at[:P].set(
+        nu_grid.astype(jnp.float32))
+    padl = lambda a, fill: jnp.full((Lp,), fill, jnp.float32).at[:L].set(
+        a.astype(jnp.float32))
+    ct_pad = jnp.zeros((R, Pp), jnp.float32).at[:, :P].set(
+        ct.astype(jnp.float32))
+    n_tiles = Pp // tile_p
+    n_blocks = Lp // block_l
+    if windows_T is None:
+        starts = jnp.zeros((n_blocks,), jnp.int32)
+        counts = jnp.full((n_blocks,), n_tiles, jnp.int32)
+        max_tiles = n_tiles
+    else:
+        st, cnt, max_tiles = windows_T
+        starts = jnp.asarray(st, jnp.int32)
+        counts = jnp.asarray(cnt, jnp.int32)
+
+    def tile_map(j, i, ntl, st):
+        return (jnp.minimum(st[j] + i, n_tiles - 1), 0)
+
+    def ct_map(j, i, ntl, st):
+        return (0, jnp.minimum(st[j] + i, n_tiles - 1))
+
+    def line_map(j, i, ntl, st):
+        return (0, j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks, int(max_tiles)),
+        in_specs=[
+            pl.BlockSpec((tile_p, 1), tile_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((1, block_l), line_map),
+            pl.BlockSpec((R, tile_p), ct_map),
+        ],
+        out_specs=[pl.BlockSpec((R, block_l), lambda j, i, *_: (0, j))] * 4,
+    )
+    kern = functools.partial(_basis_transpose_kernel, cutoff=cutoff_cm1)
+    shp = jax.ShapeDtypeStruct((R, Lp), jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[shp, shp, shp, shp],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(counts, starts, nu_pad.reshape(Pp, 1),
+      padl(nu_c, far_line).reshape(1, Lp), padl(sx, 1e6).reshape(1, Lp),
+      padl(y, 1e6).reshape(1, Lp), ct_pad)
+    return tuple(o[:, :L] for o in outs)
+
+
 def accumulate_pallas(
     nu_grid: jnp.ndarray,
     kl: KernelLines,

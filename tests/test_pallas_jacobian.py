@@ -180,3 +180,46 @@ def test_jacfwd_pallas_engine_matches_jnp():
     J2 = jax.jacfwd(f_pal)(T0)
     assert bool(jnp.isfinite(J2).all())
     assert float(jnp.max(jnp.abs(J1 - J2)) / jnp.max(jnp.abs(J1))) < 1e-5
+
+
+def test_rev_mode_kernel_transpose_parity():
+    """Round-3: reverse-mode through the IN-KERNEL transposed basis
+    contraction (pallas_opacity.basis_transpose_pallas_jit) matches the
+    jnp analytic transpose at f32 roundoff, including under structural
+    vmap (custom_vjp batching + the pallas batching rule)."""
+    from spectrobot_tpu.data.synth import random_lines
+    from spectrobot_tpu.ops.opacity import (
+        line_kernel_inputs, make_accumulate_op)
+    from spectrobot_tpu.ops.pallas_opacity import (
+        static_windows, static_windows_T)
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    ll = random_lines(700, 600.0, 750.0, seed=7)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32,
+                                    nu_ref=0.0)
+    kl = line_kernel_inputs(dl, 220.0, 300.0, 100.0,
+                            amp_weights=jnp.ones((2, dl.n_lines),
+                                                 jnp.float32))
+    nu = jnp.asarray(np.linspace(600.0, 750.0, 1024), jnp.float32)
+    w = static_windows(np.asarray(nu), np.asarray(dl.nu0), cutoff_cm1=25.0)
+    wT = static_windows_T(np.asarray(nu), np.asarray(dl.nu0),
+                          cutoff_cm1=25.0)
+    op_jnp = make_accumulate_op(mode="rev", engine="jnp", cutoff_cm1=25.0)
+    op_pal = make_accumulate_op(mode="rev", engine="pallas", interpret=True,
+                                cutoff_cm1=25.0, windows=w, windows_T=wT)
+    args = (nu, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+    loss = lambda op: lambda *a: jnp.sum(jnp.sin(op(*a) * 1e3))
+    g_ref = jax.grad(loss(op_jnp), argnums=(1, 2, 3, 4))(*args)
+    g_pal = jax.grad(loss(op_pal), argnums=(1, 2, 3, 4))(*args)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5,
+                                   atol=float(jnp.abs(a).max()) * 2e-6)
+
+    # Structural vmap (the per-layer batch shape).
+    klb = jax.tree.map(lambda x: jnp.stack([x, x * 1.01]), kl)
+    fp = jax.vmap(lambda nc, sx, y, am: jnp.sum(op_pal(nu, nc, sx, y, am) ** 2))
+    fr = jax.vmap(lambda nc, sx, y, am: jnp.sum(op_jnp(nu, nc, sx, y, am) ** 2))
+    gp = jax.grad(lambda am: jnp.sum(fp(klb.nu_c, klb.scale_x, klb.y, am)))(klb.amps)
+    gr = jax.grad(lambda am: jnp.sum(fr(klb.nu_c, klb.scale_x, klb.y, am)))(klb.amps)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=1e-6,
+                               atol=float(jnp.abs(gr).max()) * 1e-7)
