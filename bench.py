@@ -183,7 +183,9 @@ def bench_sharded_pallas(on_tpu: bool) -> float:
     n_dev = len(jax.devices())
     mesh = make_mesh((1, 1, n_dev))
     f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
-                            engine="pallas", interpret=not on_tpu)
+                            engine="pallas", interpret=not on_tpu,
+                            win_grid=np.asarray(nu_off),
+                            win_lines=np.asarray(dl.nu0))
     nu_s, lines_s, cg_s, _, _ = stage_sharded(
         mesh, nu, pad_lines_for_mesh(dl, 1), cg)
     run = lambda: f(nu_s, lines_s, cg_s, nu_off=nu_off)

@@ -337,7 +337,11 @@ def cmd_forward(cfg) -> dict:
                                 nu_halo=cfg.compute.mesh_halo,
                                 cia_pairs=(None if cia is None else
                                            (cia.pair_a, cia.pair_b)),
-                                is_limb=is_limb, emissivity=emis)
+                                is_limb=is_limb, emissivity=emis,
+                                win_grid=(np.asarray(nu_off)
+                                          if engine == "pallas" else None),
+                                win_lines=(np.asarray(dlp.nu0)
+                                           if engine == "pallas" else None))
         staged = stage_sharded(mesh, nu, dlp, cg, nlte=nlte, I_bg=I_bg,
                                cia=cia)
         nu_s, lines_s, cg_s, nlte_s, bg_s = staged[:5]

@@ -49,12 +49,19 @@ def layer_tau(
     nu_off: Optional[jnp.ndarray] = None,
     engine: str = "jnp",
     interpret: bool = False,
+    windows=None,
+    windows_T=None,
 ):
     """Raw per-(ray, layer) line sums: (dtau, dtau_em), each [R, NL, P].
 
     ``nu_off``: the grid in OFFSET coordinates (nu - lines.nu_ref), staged
     from float64 by the caller for f32-precision dnu; default computes it
     from ``nu_grid`` (exact for f64 grids, see DeviceLines docstring).
+
+    ``windows``/``windows_T``: explicit ragged kernel windows (engine=
+    'pallas'; see ops.pallas_opacity.static_windows) — pass per-shard
+    tables from inside shard_map bodies, where the auto-computation below
+    cannot run (traced centers).
 
     These are LINEAR in the line list, so a line-sharded mesh can psum them
     across the 'line' axis before the (nonlinear) source assembly — the
@@ -73,8 +80,8 @@ def layer_tau(
     # region-dispatching them (bit-identical results; the in-kernel cutoff
     # mask is unchanged).  Traced centers (e.g. inside shard_map bodies)
     # fall back to all-blocks.
-    windows = windows_T = None
-    if engine == "pallas" and cutoff_cm1 is not None and not (
+    if windows is None and windows_T is None and engine == "pallas" \
+            and cutoff_cm1 is not None and not (
             isinstance(nu_off, jax.core.Tracer)
             or isinstance(lines.nu0, jax.core.Tracer)):
         import numpy as np

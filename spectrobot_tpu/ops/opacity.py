@@ -362,21 +362,18 @@ def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = 256,
     return out[:, :P]
 
 
-def _hashable_windows(windows):
-    """Static ragged windows as a hashable triple (jit static argument)."""
-    if windows is None:
-        return None
-    st, ct, mb = windows
-    return (tuple(int(x) for x in st), tuple(int(x) for x in ct), int(mb))
-
-
 def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
-                         windows=None):
+                         max_blocks=None):
     """Fused Pallas tangent of the accumulation (VERDICT.md round-1 item 4).
 
-    Returns tangent(nu, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps) ->
-    [n_out, P], built on the in-kernel basis contraction
+    Returns tangent(nu, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps,
+    wst, wct) -> [n_out, P], built on the in-kernel basis contraction
     (:func:`spectrobot_tpu.ops.pallas_opacity.basis_contract_pallas_jit`).
+    Ragged kernel windows arrive as the trailing (wst, wct) ARGUMENTS with
+    the static ``max_blocks`` in closure — arguments, not closure, because
+    per-shard window tables are TRACED inside shard_map bodies and
+    custom_vmap stages its functions (closed-over tracers would leak);
+    with ``max_blocks=None`` the dummies are ignored (all-blocks).
 
     The economics problem this solves: under ``jax.jacfwd`` the tangent
     function is vmapped over every Jacobian column, and a naive pallas
@@ -397,7 +394,10 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
         basis_contract_pallas_batch_jit, basis_contract_pallas_jit)
 
     kw = dict(tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
-              interpret=interpret, windows=_hashable_windows(windows))
+              interpret=interpret)
+
+    def win(wst, wct):
+        return None if max_blocks is None else (wst, wct, max_blocks)
 
     def coeffs(sx, amps, d_nu_c, d_sx, d_y, d_amps):
         """Basis coefficient rows; broadcasts over any leading batch axes
@@ -417,24 +417,27 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
 
     # ---- level 1: explicit state batch [B, ...] ----
     @custom_vmap
-    def tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam):
+    def tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam, wst, wct):
         C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
         z = zeros_like_rows(am)
         cat = lambda a, b: jnp.concatenate([a, b], axis=1)
         out = basis_contract_pallas_batch_jit(
             nu, nc, sx, y, cat(am, C1), cat(z, C2), cat(z, C3), cat(z, C4),
-            **kw)
+            windows=win(wst, wct), **kw)
         n_out = am.shape[1]
         return out[:, :n_out], out[:, n_out:]
 
     @tanB.def_vmap
-    def tanB_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam):
-        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b = in_batched
+    def tanB_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam,
+                  wst, wct):
+        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b, wsb, wcb = in_batched
+        assert not (wsb or wcb), "window tables must not be batched"
         if nub:  # grid batched — no fused form; correctness fallback
             args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
                     for a, b in zip((nu, nc, sx, y, am, dnc, dsx, dy, dam),
-                                    in_batched)]
-            return jax.lax.map(lambda t: tanB(*t), tuple(args)), (True, True)
+                                    in_batched[:9])]
+            return jax.lax.map(lambda t: tanB(*t, wst, wct),
+                               tuple(args)), (True, True)
         if not (ncb or sxb or yb or amb):
             # Tangent-only batch: fold n_t into the kernel row axis; the
             # primal rows are shared (unbatched output).
@@ -447,7 +450,8 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
             cat = lambda a, b: jnp.concatenate([a, b], axis=1)
             out = basis_contract_pallas_batch_jit(
                 nu, nc, sx, y, cat(am, fold(C1)), cat(z, fold(C2)),
-                cat(z, fold(C3)), cat(z, fold(C4)), **kw)
+                cat(z, fold(C3)), cat(z, fold(C4)), windows=win(wst, wct),
+                **kw)
             primal = out[:, :n_out]
             tangent = jnp.moveaxis(
                 out[:, n_out:].reshape(B, n_t, n_out, -1), 1, 0)
@@ -461,30 +465,33 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
         B2, B = nc.shape[0], nc.shape[1]
         flat = lambda a: a.reshape((B2 * B,) + a.shape[2:])
         p, t = tanB(nu, flat(nc), flat(sx), flat(y), flat(am),
-                    flat(dnc), flat(dsx), flat(dy), flat(dam))
+                    flat(dnc), flat(dsx), flat(dy), flat(dam), wst, wct)
         unflat = lambda a: a.reshape((B2, B) + a.shape[1:])
         return (unflat(p), unflat(t)), (True, True)
 
     # ---- level 0: single state ----
     @custom_vmap
-    def tan0(nu, nc, sx, y, am, dnc, dsx, dy, dam):
+    def tan0(nu, nc, sx, y, am, dnc, dsx, dy, dam, wst, wct):
         C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
         z = zeros_like_rows(am)
         cat = lambda a, b: jnp.concatenate([a, b], axis=0)
         out = basis_contract_pallas_jit(
             nu, nc, sx, y, cat(am, C1), cat(z, C2), cat(z, C3), cat(z, C4),
-            **kw)
+            windows=win(wst, wct), **kw)
         n_out = am.shape[0]
         return out[:n_out], out[n_out:]
 
     @tan0.def_vmap
-    def tan0_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam):
-        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b = in_batched
+    def tan0_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam,
+                  wst, wct):
+        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b, wsb, wcb = in_batched
+        assert not (wsb or wcb), "window tables must not be batched"
         if nub:  # grid batched — correctness fallback
             args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
                     for a, b in zip((nu, nc, sx, y, am, dnc, dsx, dy, dam),
-                                    in_batched)]
-            return jax.lax.map(lambda t: tan0(*t), tuple(args)), (True, True)
+                                    in_batched[:9])]
+            return jax.lax.map(lambda t: tan0(*t, wst, wct),
+                               tuple(args)), (True, True)
         if not (ncb or sxb or yb or amb):
             # Tangent-only batch (jacfwd over a single state): fold into
             # rows; primal rows shared (unbatched output).
@@ -496,7 +503,8 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
             cat = lambda a, b: jnp.concatenate([a, b], axis=0)
             out = basis_contract_pallas_jit(
                 nu, nc, sx, y, cat(am, fold(C1)), cat(z, fold(C2)),
-                cat(z, fold(C3)), cat(z, fold(C4)), **kw)
+                cat(z, fold(C3)), cat(z, fold(C4)), windows=win(wst, wct),
+                **kw)
             return (out[:n_out], out[n_out:].reshape(n_t, n_out, -1)), \
                 (False, True)
         # Structural batch: promote to the explicit-batch op.
@@ -505,7 +513,8 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=256, block_l=256,
         nc, sx, y, am, dnc, dsx, dy, dam = (
             bcast(a, b) for a, b in zip((nc, sx, y, am, dnc, dsx, dy, dam),
                                         (ncb, sxb, yb, amb, d1b, d2b, d3b, d4b)))
-        return tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam), (True, True)
+        return tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam, wst, wct), \
+            (True, True)
 
     return tan0
 
@@ -553,22 +562,39 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
     if mode not in ("fwd", "rev"):
         raise ValueError(f"mode must be 'fwd' or 'rev', got {mode!r}")
 
-    def _primal(nu_grid, nu_c, sx, y, amps):
+    # Ragged kernel windows: (starts, counts) flow as ARGUMENTS through the
+    # custom_jvp/custom_vmap boundaries (those stage their functions, so
+    # closed-over TRACED tables — the per-shard shard_map case — would
+    # leak); only the static max_blocks lives in closure.
+    mb = None if windows is None else int(windows[2])
+    if windows is None:
+        _wst = _wct = jnp.zeros((1,), jnp.int32)   # ignored dummies
+    else:
+        _wst = jnp.asarray(windows[0], jnp.int32)
+        _wct = jnp.asarray(windows[1], jnp.int32)
+
+    def _primal(nu_grid, nu_c, sx, y, amps, wst, wct):
         kl = KernelLines(nu_c, sx, y, amps)
         if engine == "pallas":
+            win = None if mb is None else (wst, wct, mb)
             return accumulate_pallas_jit(nu_grid, kl, cutoff_cm1=cutoff_cm1,
                                          interpret=interpret,
-                                         windows=windows).astype(
+                                         windows=win).astype(
                 jnp.result_type(nu_grid))
         return accumulate_jnp(nu_grid, kl, **kw)
 
     if mode == "rev":
+        if windows is not None and isinstance(windows[0], jax.core.Tracer):
+            raise ValueError(
+                "mode='rev' needs CONCRETE windows (the custom_vjp backward "
+                "closes over them); pass windows=None inside shard_map "
+                "bodies or run the rev op outside the mesh")
         @jax.custom_vjp
         def acc(nu_grid, nu_c, sx, y, amps):
-            return _primal(nu_grid, nu_c, sx, y, amps)
+            return _primal(nu_grid, nu_c, sx, y, amps, _wst, _wct)
 
         def acc_fwd(nu_grid, nu_c, sx, y, amps):
-            return (_primal(nu_grid, nu_c, sx, y, amps),
+            return (_primal(nu_grid, nu_c, sx, y, amps, _wst, _wct),
                     (nu_grid, nu_c, sx, y, amps))
 
         def acc_bwd(res, ct):
@@ -578,8 +604,7 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                     basis_transpose_pallas_jit)
                 AbK, AbKx, AbxKx, AbKy = basis_transpose_pallas_jit(
                     nu_grid, nu_c, sx, y, ct, cutoff_cm1=cutoff_cm1,
-                    interpret=interpret,
-                    windows_T=_hashable_windows(windows_T))
+                    interpret=interpret, windows_T=windows_T)
                 dt = jnp.result_type(nu_grid)
                 so = lambda M: jnp.sum(M.astype(dt) * amps, axis=0)
                 ct_amps = AbK.astype(dt)
@@ -594,27 +619,27 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
         acc.defvjp(acc_fwd, acc_bwd)
         return acc
 
-    tangent_pallas = (_make_tangent_pallas(cutoff_cm1=cutoff_cm1,
-                                           interpret=interpret,
-                                           windows=windows)
-                      if engine == "pallas" else None)
+    tangent_pallas = (_make_tangent_pallas(
+        cutoff_cm1=cutoff_cm1, interpret=interpret, max_blocks=mb)
+        if engine == "pallas" else None)
 
     @jax.custom_jvp
-    def acc(nu_grid, nu_c, sx, y, amps):
-        return _primal(nu_grid, nu_c, sx, y, amps)
+    def acc(nu_grid, nu_c, sx, y, amps, wst, wct):
+        return _primal(nu_grid, nu_c, sx, y, amps, wst, wct)
 
     @acc.defjvp
     def acc_jvp(primals, tangents):
         # The primal comes out of the SAME basis pass as the tangent
         # (out = amps @ K with K already in hand) — one Voigt-grad
         # evaluation yields primal + every Jacobian column.
-        nu_grid, nu_c, sx, y, amps = primals
-        _, d_nu_c, d_sx, d_y, d_amps = tangents
+        nu_grid, nu_c, sx, y, amps, wst, wct = primals
+        _, d_nu_c, d_sx, d_y, d_amps = tangents[:5]
         if tangent_pallas is not None:
             zero = lambda p, d: jnp.zeros_like(p) if d is None else d
             primal_out, tangent_out = tangent_pallas(
                 nu_grid, nu_c, sx, y, amps, zero(nu_c, d_nu_c),
-                zero(sx, d_sx), zero(y, d_y), zero(amps, d_amps))
+                zero(sx, d_sx), zero(y, d_y), zero(amps, d_amps),
+                wst, wct)
             dt = jnp.result_type(nu_grid)
             return primal_out.astype(dt), tangent_out.astype(dt)
         primal_out, tangent_out = _tangent_via_basis(
@@ -622,7 +647,12 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
             with_primal=True, **kw)
         return primal_out, tangent_out
 
-    return acc
+    def acc_pub(nu_grid, nu_c, sx, y, amps):
+        # Plain inline wrapper (no staging): binds the window tables in the
+        # SAME trace that created them.
+        return acc(nu_grid, nu_c, sx, y, amps, _wst, _wct)
+
+    return acc_pub
 
 
 def _ad_mode(analytic_jvp) -> Optional[str]:

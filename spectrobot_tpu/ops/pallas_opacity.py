@@ -548,10 +548,6 @@ def _basis_batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
                              + dot(c4_ref[0, :, :], Ky))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret",
-                     "windows"))
 def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
                               *, tile_p: int = 256, block_l: int = 256,
                               cutoff_cm1: Optional[float] = 25.0,
@@ -563,8 +559,10 @@ def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
     every line block is visited for every tile (static all-blocks windows,
     like :func:`spectrobot_tpu.ops.opacity.accumulate_pallas_jit`); the
     in-kernel cutoff mask and block-level region dispatch do the skipping
-    work.  ``windows`` (a HASHABLE (starts_tuple, counts_tuple, max_blocks)
-    triple — see opacity._hashable_windows) bakes real ragged windows in.
+    work.  ``windows`` = (starts, counts, max_blocks) ragged windows —
+    starts/counts may be np arrays (baked constants) or TRACED arrays
+    (per-shard tables selected inside a shard_map body); only
+    ``max_blocks`` must be a python int (it sizes the pallas grid).
     """
     P = nu_grid.shape[0]
     L = nu_c.shape[0]
@@ -620,10 +618,6 @@ def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
     return out[:, :P]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret",
-                     "windows"))
 def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
                                     *, tile_p: int = 256, block_l: int = 256,
                                     cutoff_cm1: Optional[float] = 25.0,
@@ -632,7 +626,8 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
     """Batched fused basis contraction, jit-composable.
 
     nu_c/sx/y: [B, L]; C1..C4: [B, R, L].  Returns [B, R, P] float32.
-    ``windows``: hashable static ragged windows (single-state docstring).
+    ``windows``: ragged windows, constant or traced (single-state
+    docstring).
     """
     P = nu_grid.shape[0]
     B, L = nu_c.shape
@@ -781,10 +776,6 @@ def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
         oKy_ref[:, :] += dot(Ky)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tile_p", "block_l", "cutoff_cm1", "interpret",
-                     "windows_T"))
 def basis_transpose_pallas_jit(nu_grid, nu_c, sx, y, ct,
                                *, tile_p: int = 256, block_l: int = 256,
                                cutoff_cm1: Optional[float] = 25.0,

@@ -177,11 +177,15 @@ def make_sharded_oe(
                 cia.tables, NamedSharding(mesh, P(None, None, "nu"))),
             T_grid=rep(cia.T_grid))
     else:
+        if nu_off is None:
+            nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
         fwd_sharded = sharded_radiance_fn(
             mesh, has_nlte=nlte is not None, has_background=not is_limb,
             variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
             engine=engine, interpret=interpret, nu_halo=nu_halo,
-            cia_pairs=cia_pairs, is_limb=is_limb, emissivity=emissivity)
+            cia_pairs=cia_pairs, is_limb=is_limb, emissivity=emissivity,
+            win_grid=(np.asarray(nu_off) if engine == "pallas" else None),
+            win_lines=(np.asarray(dlp.nu0) if engine == "pallas" else None))
     # Static inputs staged once with their mesh layout (cg placeholder is
     # discarded — the retrieval recomputes it from the state every call).
     if is_limb:
@@ -194,8 +198,6 @@ def make_sharded_oe(
         staged = stage_sharded(mesh, nu_grid, dlp, cg0, nlte=nlte, cia=cia)
         nu_s, lines_s, _, nlte_s, _ = staged[:5]
         cia_s = staged[5] if cia is not None else None
-        if nu_off is None:
-            nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
 
     def model(x):
         state = unravel(x)

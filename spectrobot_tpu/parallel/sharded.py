@@ -81,6 +81,8 @@ def sharded_radiance_fn(
     cia_pairs: Optional[tuple] = None,
     is_limb: bool = True,
     emissivity: float = 1.0,
+    win_grid=None,
+    win_lines=None,
 ):
     """Build the jitted shard_map radiance function for a mesh.
 
@@ -109,14 +111,70 @@ def sharded_radiance_fn(
     ``emissivity < 1`` the Lambertian reflected downwelling is added from
     the SAME layer optics integrated surface-first — all local to each
     (ray, nu) chunk, so nadir needs no collective beyond the line psum.
+
+    ``win_grid``/``win_lines`` (engine='pallas'): HOST-side offset-
+    coordinate grid [P] and line centers (non-halo: the padded global [Lp]
+    sorted centers; halo: partition_lines_by_nu's [n_nu, Lmax] buffer).
+    Per-(shard, source) ragged kernel windows are precomputed from them
+    and selected inside the body via ``lax.axis_index`` — the sharded
+    analog of the static windows layer_tau bakes in single-device
+    (bit-identical; blocks provably outside the cutoff are skipped).
     """
     n_nu = mesh.shape["nu"]
+    n_line = mesh.shape["line"]
     tau_kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
                   engine=engine, interpret=interpret)
 
     if nu_halo:
         right = [(i, (i + 1) % n_nu) for i in range(n_nu)]
         left = [(i, (i - 1) % n_nu) for i in range(n_nu)]
+
+    # Per-shard kernel window tables (closed-over constants; the body picks
+    # its rows by mesh coordinates).
+    WST = WCT = None
+    max_blocks = 1
+    if (engine == "pallas" and cutoff_cm1 is not None
+            and win_grid is not None and win_lines is not None):
+        import numpy as np
+
+        from spectrobot_tpu.ops.pallas_opacity import static_windows
+        g = np.asarray(win_grid, np.float64)
+        assert g.shape[0] % n_nu == 0
+        g = g.reshape(n_nu, -1)
+        arr = np.asarray(win_lines, np.float64)
+        if not nu_halo:
+            assert arr.ndim == 1 and arr.shape[0] % n_line == 0
+            sl = arr.reshape(n_line, -1)
+            st_all, ct_all = [], []
+            for k in range(n_nu):
+                st_k, ct_k = [], []
+                for li in range(n_line):
+                    s, c, m = static_windows(g[k], sl[li],
+                                             cutoff_cm1=cutoff_cm1)
+                    st_k.append(s)
+                    ct_k.append(c)
+                    max_blocks = max(max_blocks, m)
+                st_all.append(st_k)
+                ct_all.append(ct_k)
+            WST = jnp.asarray(np.asarray(st_all))   # [n_nu, n_line, n_t]
+            WCT = jnp.asarray(np.asarray(ct_all))
+        else:
+            assert arr.ndim == 2 and arr.shape[0] == n_nu
+            Lloc = arr.shape[1] // n_line
+            n_t = -(-g.shape[1] // 256)             # tiles per chunk
+            WSTn = np.zeros((n_nu, 3, n_line, n_t), np.int32)
+            WCTn = np.zeros_like(WSTn)
+            for k in range(n_nu):
+                for s_i, src in enumerate((k, (k - 1) % n_nu,
+                                           (k + 1) % n_nu)):
+                    for li in range(n_line):
+                        s, c, m = static_windows(
+                            g[k], arr[src, li * Lloc:(li + 1) * Lloc],
+                            cutoff_cm1=cutoff_cm1)
+                        WSTn[k, s_i, li] = s
+                        WCTn[k, s_i, li] = c
+                        max_blocks = max(max_blocks, m)
+            WST, WCT = jnp.asarray(WSTn), jnp.asarray(WCTn)
 
     def body(nu_loc, nu_off_loc, lines_loc, u, T_sp, p_sp, ps_sp, T_air,
              u_air, uu_air, seg_layer, nlte_loc, bg_loc, cia_tab_loc,
@@ -125,9 +183,14 @@ def sharded_radiance_fn(
                         T_air=T_air, seg_layer=seg_layer,
                         seg_count=int(seg_layer.shape[0]), is_limb=is_limb,
                         u_air=u_air, uu_air=uu_air)
+        if WST is not None:
+            idx_nu = lax.axis_index("nu")
+            idx_line = lax.axis_index("line")
+            win = lambda *ix: (WST[ix], WCT[ix], max_blocks)
         if not nu_halo:
             dtau, dtau_em = layer_tau(
                 nu_loc, lines_loc, cg_loc, nlte_loc, nu_off=nu_off_loc,
+                windows=None if WST is None else win(idx_nu, idx_line),
                 **tau_kw)
         else:
             # Owner lines arrive with leading shard axis of local size 1.
@@ -135,7 +198,9 @@ def sharded_radiance_fn(
             shared = (lines_loc.q_tbl, lines_loc.q_tgrid, lines_loc.nu_ref)
             dtau, dtau_em = layer_tau(
                 nu_loc, DeviceLines(*mine, *shared), cg_loc, nlte_loc,
-                nu_off=nu_off_loc, **tau_kw)
+                nu_off=nu_off_loc,
+                windows=None if WST is None else win(idx_nu, 0, idx_line),
+                **tau_kw)
             if n_nu > 1:
                 # Wing halos: neighbour-owned lines within ``cutoff`` of my
                 # boundary contribute to my chunk.  ppermute moves each
@@ -146,12 +211,16 @@ def sharded_radiance_fn(
                 # offsets (DeviceLines.nu_ref is shared), so permuted
                 # centers need no correction; far (wrap-around) lines are
                 # killed by the |dnu| <= cutoff mask.
-                hops = (right,) if n_nu == 2 else (right, left)
-                for perm in hops:
+                hops = ((right, 1),) if n_nu == 2 else ((right, 1),
+                                                       (left, 2))
+                for perm, s_i in hops:
                     got = tuple(lax.ppermute(a, "nu", perm) for a in mine)
                     d2, d2e = layer_tau(
                         nu_loc, DeviceLines(*got, *shared), cg_loc,
-                        nlte_loc, nu_off=nu_off_loc, **tau_kw)
+                        nlte_loc, nu_off=nu_off_loc,
+                        windows=(None if WST is None
+                                 else win(idx_nu, s_i, idx_line)),
+                        **tau_kw)
                     dtau, dtau_em = dtau + d2, dtau_em + d2e
         # C23: complete the line sums across the line axis (single psum).
         dtau, dtau_em = lax.psum((dtau, dtau_em), "line")

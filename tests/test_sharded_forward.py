@@ -48,19 +48,23 @@ def test_sharded_matches_single_device(shape):
                                atol=np.abs(ref).max() * 1e-12)
 
 
-@pytest.mark.parametrize("shape,engine,halo", [
-    ((2, 2, 2), "jnp", True),      # nu-halo tier, XLA engine
-    ((1, 1, 4), "jnp", True),      # pure nu decomposition with halo
-    ((1, 2, 4), "jnp", True),      # halo composed with line sharding
-    ((2, 2, 2), "pallas", False),  # Pallas kernel through the line-psum tier
-    ((1, 1, 4), "pallas", True),   # Pallas kernel + nu-halo (the
-                                   # BASELINE.json:5 north-star composition)
+@pytest.mark.parametrize("shape,engine,halo,windowed", [
+    ((2, 2, 2), "jnp", True, False),      # nu-halo tier, XLA engine
+    ((1, 1, 4), "jnp", True, False),      # pure nu decomposition with halo
+    ((1, 2, 4), "jnp", True, False),      # halo composed with line sharding
+    ((2, 2, 2), "pallas", False, False),  # Pallas kernel, line-psum tier
+    ((1, 1, 4), "pallas", True, False),   # Pallas kernel + nu-halo (the
+                                          # BASELINE.json:5 composition)
+    ((2, 2, 2), "pallas", False, True),   # + per-shard static windows
+    ((1, 2, 4), "pallas", True, True),    # windows x halo x line sharding
 ])
-def test_sharded_engine_halo_matrix(shape, engine, halo):
+def test_sharded_engine_halo_matrix(shape, engine, halo, windowed):
     """The production engine x distribution matrix (VERDICT.md round-2
     item 1): the Pallas kernel and the nu-halo line distribution each match
     the single-device result — jnp to f64 roundoff, pallas to the f32
-    accumulation-order level of the kernel itself."""
+    accumulation-order level of the kernel itself.  ``windowed`` adds the
+    per-(shard, source) ragged kernel windows (round-3 sharded analog of
+    static_windows, selected via lax.axis_index inside the body)."""
     ll, dl, nu, cg = _scene()
     # The grid spans 25 cm-1; halo exactness needs cutoff <= shard width
     # (here 25/4 = 6.25), so the whole matrix runs at 5 cm-1.
@@ -73,9 +77,13 @@ def test_sharded_engine_halo_matrix(shape, engine, halo):
                                     cutoff_cm1=cut, line_shards=shape[1])
     else:
         dlp = pad_lines_for_mesh(dl, shape[1])
+    win_kw = {}
+    if windowed:
+        nu_off = np.asarray(nu, np.float64) - float(dl.nu_ref)
+        win_kw = dict(win_grid=nu_off, win_lines=np.asarray(dlp.nu0))
     f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
                             cutoff_cm1=cut, engine=engine, interpret=True,
-                            nu_halo=halo)
+                            nu_halo=halo, **win_kw)
     nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
     got = np.asarray(f(nu_s, lines_s, cg_s))
     tol = 1e-10 if engine == "jnp" else 2e-6   # pallas runs in float32
