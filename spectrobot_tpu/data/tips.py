@@ -442,6 +442,16 @@ _CACHE: Dict[Tuple[int, int], np.ndarray] = {}
 # Rotational partition sums
 # ---------------------------------------------------------------------------
 
+def _j_conv(B: float) -> int:
+    """J needed for 1e-8-relative convergence of a rotational sum at
+    1500 K: the tail beyond J is ~exp(-c2 B J^2 / T), so demand
+    c2 B J^2 / 1500 >= 32  =>  J >= sqrt(32 * 1500 / (1.44 B)) ~ 183/sqrt(B)
+    (round-3 code-review: the earlier 40/sqrt(B) heuristic truncated
+    SF6/NF3-class sums by 1-7% at the grid top, biasing the anchored SHAPE
+    that line-strength scaling consumes)."""
+    return int(np.ceil(183.0 / np.sqrt(max(B, 1e-3)))) + 20
+
+
 def _q_rot_linear(B: float, sigma: int, T: np.ndarray,
                   j_max: int = 400, spin=None) -> np.ndarray:
     """Exact rigid-rotor sum  (1/sigma) * sum_J (2J+1) exp(-c2 B J(J+1)/T).
@@ -454,9 +464,7 @@ def _q_rot_linear(B: float, sigma: int, T: np.ndarray,
     the explicit para/ortho J-parity weights (1 even : 3 odd), which at
     H2's B ~ 61 cm-1 dominate Q below ~300 K.
     """
-    # Smaller B needs larger J for 1500 K convergence: B J^2 >> kT.
-    if B < 0.3:
-        j_max = max(j_max, int(np.ceil(40.0 / np.sqrt(B))) + 50)
+    j_max = max(j_max, _j_conv(B))
     J = np.arange(j_max + 1, dtype=np.float64)
     E = B * J * (J + 1.0)                                   # [J]
     g = 2.0 * J + 1.0
@@ -472,12 +480,12 @@ def _q_rot_symtop(B: float, X: float, sigma: int, T: np.ndarray,
 
         (1/sigma) sum_J sum_{K=-J..J} (2J+1) exp(-c2 [B J(J+1) + (X-B) K^2]/T)
 
-    with X = A (prolate) or C (oblate).  j_max=120 converges all registered
-    tops (B >= 0.25 cm-1) at 1500 K; the uniform 1/sigma rule carries the
-    usual O(exp(-c2 B/T_min)) nuclear-spin error, anchored away at 296 K.
+    with X = A (prolate) or C (oblate); ``j_max`` is raised to the
+    1500 K convergence bound :func:`_j_conv` of the smallest constant.
+    The uniform 1/sigma rule carries the usual O(exp(-c2 B/T_min))
+    nuclear-spin error, anchored away at 296 K.
     """
-    if min(B, abs(X)) < 0.25:
-        j_max = max(j_max, int(np.ceil(40.0 / np.sqrt(min(B, abs(X))))) + 50)
+    j_max = max(j_max, _j_conv(min(B, abs(X))))
     out = np.zeros_like(T)
     for J in range(j_max + 1):
         K = np.arange(-J, J + 1, dtype=np.float64)
@@ -488,7 +496,10 @@ def _q_rot_symtop(B: float, X: float, sigma: int, T: np.ndarray,
 
 def _q_rot_spherical(B: float, sigma: int, T: np.ndarray,
                      j_max: int = 200) -> np.ndarray:
-    """Spherical-top sum  (1/sigma) * sum_J (2J+1)^2 exp(-c2 B J(J+1)/T)."""
+    """Spherical-top sum  (1/sigma) * sum_J (2J+1)^2 exp(-c2 B J(J+1)/T);
+    ``j_max`` raised to the 1500 K bound :func:`_j_conv` (SF6's B = 0.091
+    needs J ~ 620 — the old fixed 200 was ~7% low at the grid top)."""
+    j_max = max(j_max, _j_conv(B))
     J = np.arange(j_max + 1, dtype=np.float64)
     E = B * J * (J + 1.0)
     g = (2.0 * J + 1.0) ** 2

@@ -255,6 +255,36 @@ def _rt_epilogue(nu_grid, cg, dtau, dtau_em, bg):
 _rt_epilogue_jit = _rt_epilogue
 
 
+def tau_radiance_epilogue(
+    nu_grid: jnp.ndarray,
+    cg: PathCG,
+    dtau: jnp.ndarray,
+    dtau_em: jnp.ndarray,
+    cia=None,
+    I_background: Optional[jnp.ndarray] = None,
+    is_limb: bool = True,
+    emissivity=1.0,
+) -> jnp.ndarray:
+    """THE local radiance epilogue from precomputed line-sum depths
+    [R, NL, P]: add the (additive, line-free) CIA continuum to both depths,
+    assemble sources, and for a nadir path with a grey surface
+    (``is_limb=False``, ``I_background`` = eps*B(T_s)) add the Lambertian
+    reflected downwelling.  Every operation is pointwise in (ray, nu), so
+    this one function serves the single-device tails AND the shard_map
+    bodies (parallel/sharded.py, parallel/sharded_lut.py) unchanged — one
+    place to fix, three call sites (round-3 code-review item)."""
+    if cia is not None:
+        from spectrobot_tpu.ops.cia import cia_dtau
+        dc = cia_dtau(cia, cg).astype(dtau.dtype)
+        dtau, dtau_em = dtau + dc, dtau_em + dc
+    optics = optics_from_tau(nu_grid, cg, dtau, dtau_em)
+    if not is_limb and not (isinstance(emissivity, (int, float))
+                            and emissivity >= 1.0):
+        I_background = I_background + (1.0 - emissivity) * \
+            downwelling_radiance(optics, cg)
+    return path_radiance(optics, cg, I_background)
+
+
 def radiance_from_tau(
     nu_grid: jnp.ndarray,
     cg: PathCG,
@@ -270,18 +300,14 @@ def radiance_from_tau(
     any external opacity source.  Limb when ``T_surface`` is None (deep
     space or ``I_background`` behind), nadir otherwise (grey surface with
     Lambertian reflected downwelling, as :func:`nadir_radiance`)."""
-    if cia is not None:
-        from spectrobot_tpu.ops.cia import cia_dtau
-        dc = cia_dtau(cia, cg).astype(dtau.dtype)
-        dtau, dtau_em = dtau + dc, dtau_em + dc
-    optics = optics_from_tau(nu_grid, cg, dtau, dtau_em)
     if T_surface is None:
-        return path_radiance(optics, cg, I_background)
+        return tau_radiance_epilogue(nu_grid, cg, dtau, dtau_em, cia=cia,
+                                     I_background=I_background)
     I_bg = emissivity * planck_nu(nu_grid, T_surface)
-    I_bg = jnp.broadcast_to(I_bg, (optics.dtau.shape[0], nu_grid.shape[0]))
-    if not (isinstance(emissivity, (int, float)) and emissivity >= 1.0):
-        I_bg = I_bg + (1.0 - emissivity) * downwelling_radiance(optics, cg)
-    return path_radiance(optics, cg, I_bg)
+    I_bg = jnp.broadcast_to(I_bg, (dtau.shape[0], nu_grid.shape[0]))
+    return tau_radiance_epilogue(nu_grid, cg, dtau, dtau_em, cia=cia,
+                                 I_background=I_bg, is_limb=False,
+                                 emissivity=emissivity)
 
 
 def path_radiance(

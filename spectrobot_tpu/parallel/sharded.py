@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spectrobot_tpu.data.nlte import DeviceNLTE
 from spectrobot_tpu.forward.geometry import PathCG
-from spectrobot_tpu.forward.limb import layer_tau, optics_from_tau, path_radiance
+from spectrobot_tpu.forward.limb import layer_tau, tau_radiance_epilogue
 from spectrobot_tpu.ops.strengths import DeviceLines
 
 # PartitionSpecs for the pytrees crossing the shard_map boundary.
@@ -224,20 +224,17 @@ def sharded_radiance_fn(
                     dtau, dtau_em = dtau + d2, dtau_em + d2e
         # C23: complete the line sums across the line axis (single psum).
         dtau, dtau_em = lax.psum((dtau, dtau_em), "line")
+        cia_loc = None
         if cia_pairs is not None:
-            from spectrobot_tpu.ops.cia import DeviceCIA, cia_dtau
+            from spectrobot_tpu.ops.cia import DeviceCIA
             cia_loc = DeviceCIA(tables=cia_tab_loc, T_grid=cia_tg_loc,
                                 pair_a=cia_pairs[0], pair_b=cia_pairs[1])
-            dc = cia_dtau(cia_loc, cg_loc).astype(dtau.dtype)
-            dtau, dtau_em = dtau + dc, dtau_em + dc
-        optics = optics_from_tau(nu_loc, cg_loc, dtau, dtau_em)
-        if not is_limb and emissivity < 1.0:
-            # Grey-surface reflection (forward.limb.nadir_radiance): the
-            # reversed-order integration is local to the (ray, nu) chunk.
-            from spectrobot_tpu.forward.limb import downwelling_radiance
-            bg_loc = bg_loc + (1.0 - emissivity) * downwelling_radiance(
-                optics, cg_loc)
-        return path_radiance(optics, cg_loc, bg_loc)
+        # CIA add + source assembly + grey-surface reflection are all
+        # pointwise in (ray, nu) — the shared local epilogue applies per
+        # chunk unchanged.
+        return tau_radiance_epilogue(nu_loc, cg_loc, dtau, dtau_em,
+                                     cia=cia_loc, I_background=bg_loc,
+                                     is_limb=is_limb, emissivity=emissivity)
 
     in_specs = (
         P("nu"), P("nu"),
@@ -307,9 +304,18 @@ def stage_sharded(mesh: Mesh, nu_grid, lines: DeviceLines, cg: PathCG,
 
 # Pad-line parameter fills: zero strength makes a pad line exactly inert
 # under the linear accumulation contract; the width/mass fills keep its
-# (unused) Voigt arguments in normal float range.
+# (unused) Voigt arguments in normal float range.  The CENTER fill must be
+# a FAR sentinel (beyond any band, like the kernels' internal padding), NOT
+# 0.0: a mid-band pad breaks the sorted-centers invariant (C1) that BOTH
+# the host-side window binary search (pallas_opacity._block_windows) and
+# the in-kernel endpoint-based block region dispatch rely on — a 0.0 pad
+# ending a 256-line block silently dropped real blocks from the windows
+# and mis-dispatched overlapping blocks to the far-wing formula
+# (round-3 code-review finding; regression-tested in
+# test_sharded_forward.py::test_padded_partition_multi_block_parity).
+_PAD_NU0_FAR = 1.0e7
 _PAD_FILLS = dict(
-    nu0=0.0, sw=0.0, elower=0.0, gamma_air=1e-3, gamma_self=1e-3,
+    nu0=_PAD_NU0_FAR, sw=0.0, elower=0.0, gamma_air=1e-3, gamma_self=1e-3,
     n_air=0.5, delta_air=0.0, mass_amu=40.0, species_idx=0,
     level_upper=-1, level_lower=-1,
 )

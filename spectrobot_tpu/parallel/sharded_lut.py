@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spectrobot_tpu.forward.geometry import PathCG
-from spectrobot_tpu.forward.limb import optics_from_tau, path_radiance
+from spectrobot_tpu.forward.limb import tau_radiance_epilogue
 from spectrobot_tpu.ops.lut import (
     NLTELUT, OpacityLUT, layer_tau_lut, layer_tau_nlte_lut,
 )
@@ -99,18 +99,14 @@ def sharded_lut_radiance_fn(
             dtau, dtau_em = layer_tau_nlte_lut(lut_loc, cg_loc, nlte_loc)
         else:
             dtau = dtau_em = layer_tau_lut(lut_loc, cg_loc)
+        cia_loc = None
         if cia_pairs is not None:
-            from spectrobot_tpu.ops.cia import DeviceCIA, cia_dtau
+            from spectrobot_tpu.ops.cia import DeviceCIA
             cia_loc = DeviceCIA(tables=cia_tab_loc, T_grid=cia_tg_loc,
                                 pair_a=cia_pairs[0], pair_b=cia_pairs[1])
-            dc = cia_dtau(cia_loc, cg_loc).astype(dtau.dtype)
-            dtau, dtau_em = dtau + dc, dtau_em + dc
-        optics = optics_from_tau(lut_loc.nu_grid, cg_loc, dtau, dtau_em)
-        if not is_limb and emissivity < 1.0:
-            from spectrobot_tpu.forward.limb import downwelling_radiance
-            bg_loc = bg_loc + (1.0 - emissivity) * downwelling_radiance(
-                optics, cg_loc)
-        return path_radiance(optics, cg_loc, bg_loc)
+        return tau_radiance_epilogue(lut_loc.nu_grid, cg_loc, dtau, dtau_em,
+                                     cia=cia_loc, I_background=bg_loc,
+                                     is_limb=is_limb, emissivity=emissivity)
 
     in_specs = (
         tuple(lut_specs),

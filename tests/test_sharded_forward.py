@@ -124,3 +124,46 @@ def test_sharded_nlte_and_background():
     got = np.asarray(f(nu_s, lines_s, cg_s, nlte_s, bg_s))
     np.testing.assert_allclose(got, ref, rtol=1e-10,
                                atol=np.abs(ref).max() * 1e-12)
+
+
+def test_padded_partition_multi_block_parity():
+    """Regression (round-3 code-review): owner-shard slices spanning
+    MULTIPLE 256-line kernel blocks with a padded tail must stay exact —
+    a mid-band (0.0) pad fill used to break the sorted-centers invariant,
+    silently dropping real blocks from the baked windows and
+    mis-dispatching overlapping blocks to the far-wing formula.  The pad
+    fill is now a far sentinel; this test forces Lmax=1024 (>=3 real
+    blocks + a padded tail that ends a block with sentinels)."""
+    from spectrobot_tpu.data.synth import random_lines
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    ll = random_lines(700, 656.0, 679.0, seed=9)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float64)
+    atm = mars_standard_atmosphere(n_lev=7, z_top=80e3)
+    nu = jnp.asarray(np.linspace(655.0, 680.0, 1024))
+    cg = limb_path_cg(atm, ["CO2"], jnp.asarray([10e3, 30e3]), MARS, 2)
+    cut = 5.0
+    # Reference: the SAME kernel single-device (isolates the mesh/window
+    # path from the kernel's own f32-vs-f64 accumulation error, ~3e-4 at
+    # 700 saturating random lines); f64 oracle as a sanity bound.
+    ref = np.asarray(jax.jit(lambda: limb_radiance(
+        nu, dl, cg, cutoff_cm1=cut, chunk=128, engine="pallas",
+        interpret=True))())
+    ref64 = np.asarray(jax.jit(lambda: limb_radiance(
+        nu, dl, cg, cutoff_cm1=cut, chunk=128))())
+    np.testing.assert_allclose(ref, ref64, rtol=2e-3,
+                               atol=np.abs(ref64).max() * 1e-3)
+
+    mesh = make_mesh((1, 1, 2), jax.devices()[:2])
+    dlp = partition_lines_by_nu(dl, np.asarray(nu), 2, cutoff_cm1=cut,
+                                round_to=1024)
+    assert dlp.nu0.shape == (2, 1024)      # >= 3 real blocks + padded tail
+    nu_off = np.asarray(nu, np.float64) - float(dl.nu_ref)
+    f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
+                            cutoff_cm1=cut, chunk=128, engine="pallas",
+                            interpret=True, nu_halo=True,
+                            win_grid=nu_off, win_lines=np.asarray(dlp.nu0))
+    nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
+    got = np.asarray(f(nu_s, lines_s, cg_s))
+    np.testing.assert_allclose(got, ref, rtol=2e-6,
+                               atol=np.abs(ref).max() * 2e-6)
