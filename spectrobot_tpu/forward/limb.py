@@ -201,8 +201,8 @@ def layer_tau_pallas(
     nlte: Optional[DeviceNLTE] = None,
     *,
     cutoff_cm1: Optional[float] = 25.0,
-    tile_p: int = 256,
-    block_l: int = 256,
+    tile_p: Optional[int] = None,
+    block_l: Optional[int] = None,
     interpret: bool = False,
     nu_off: Optional[jnp.ndarray] = None,
 ):
@@ -211,7 +211,8 @@ def layer_tau_pallas(
     path).  Host-side block windows come from the unshifted line centers, so
     this entry point runs OUTSIDE jit (prologue and kernel are jitted
     internally).  Returns (dtau, dtau_em) [R, NL, P] float32."""
-    from spectrobot_tpu.ops.pallas_opacity import accumulate_pallas_batch
+    from spectrobot_tpu.ops.pallas_opacity import (
+        DEFAULT_BLOCK_L, DEFAULT_TILE_P, accumulate_pallas_batch)
     import numpy as np
 
     R, NL, S = cg.u.shape
@@ -220,8 +221,9 @@ def layer_tau_pallas(
     nu_c, sx, y, amps = _tau_prologue_jit(lines, cg, nlte)
     out = accumulate_pallas_batch(
         nu_off, np.asarray(lines.nu0), nu_c, sx, y, amps,
-        tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
-        interpret=interpret)                              # [B, 2, P]
+        tile_p=DEFAULT_TILE_P if tile_p is None else tile_p,
+        block_l=DEFAULT_BLOCK_L if block_l is None else block_l,
+        cutoff_cm1=cutoff_cm1, interpret=interpret)       # [B, 2, P]
     P = nu_grid.shape[0]
     out = out.reshape(R, NL, 2, P)
     return out[:, :, 0, :], out[:, :, 1, :]

@@ -46,6 +46,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Default kernel geometry for the WINDOWED production paths (wing-cutoff
+# line sums).  Measured on v5e at the bench.py fused-engine scenario (2048
+# lines / 8192 pts / 640 states, cutoff 25 cm^-1): 256x128 = 187 ms vs
+# 256x256 = 296 ms vs 256x512 = 515 ms — smaller line blocks make the
+# ragged windows proportionally tighter (the window is cutoff + block span
+# wide) and 128 is the TPU lane width, so the ratio only improves.  DENSE
+# (cutoff=None) calls want the opposite — bench.py measures 256x512 best —
+# and pass explicit sizes.  Window tables and kernels MUST agree on these
+# sizes; every default below routes through the two constants.
+DEFAULT_TILE_P = 256
+DEFAULT_BLOCK_L = 128
+
+
 def _wr_region1(x, y):
     """Humlicek region-1 real part (valid for s = |x|+y >= 15): ~12 flops,
     no transcendentals.  Re w = c * y (0.5 + x^2 + y^2) / |0.5 + t^2|^2.
@@ -234,7 +247,7 @@ def _block_windows(nu_host: np.ndarray, nuc_host: np.ndarray, tile_p: int,
 
 
 def static_windows(nu_host: np.ndarray, nu0_host: np.ndarray, *,
-                   tile_p: int = 256, block_l: int = 256,
+                   tile_p: int = DEFAULT_TILE_P, block_l: int = DEFAULT_BLOCK_L,
                    cutoff_cm1: Optional[float] = 25.0,
                    shift_margin_cm1: float = 1.0):
     """Host-side ragged block windows for the JIT-COMPOSABLE kernel entry
@@ -316,13 +329,20 @@ def _accumulate_padded(nu2d, nuc2d, sx2d, y2d, amps, starts, counts,
     return out
 
 
-def _batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
-                  amps_ref, out_ref, *, cutoff: Optional[float], n_out: int):
+def _batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref, sx_ref,
+                  y_ref, amps_ref, out_ref, *, cutoff: Optional[float],
+                  n_out: int):
     """Batched variant: one batch element (ray x layer) per leading grid dim.
 
     nu_ref: [TILE_P, 1]; nuc/sx/y_ref: [1, 1, BLOCK_L]; amps_ref:
-    [1, n_out, BLOCK_L]; out_ref: [1, n_out, TILE_P].
+    [1, n_out, BLOCK_L]; out_ref: [1, n_out, TILE_P].  ``act_ref`` [B] marks
+    states with ANY nonzero amplitude: a zero-amplitude state contributes
+    exactly 0 to every output element, so skipping its accumulation is
+    bit-exact — and in a limb scan the layers below each ray's tangent
+    point (zero chord length, hence zero column) are ~45 % of the (ray x
+    layer) rectangle.
     """
+    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -330,7 +350,7 @@ def _batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
     def _init():
         out_ref[0, :, :] = jnp.zeros_like(out_ref)[0]
 
-    @pl.when(j < nblk_ref[i])
+    @pl.when(jnp.logical_and(j < nblk_ref[i], act_ref[b] != 0))
     def _accum():
         dnu = nu_ref[:, :] - nuc_ref[0, :, :]
         x = dnu * sx_ref[0, :, :]
@@ -355,11 +375,11 @@ def _batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
     jax.jit,
     static_argnames=("max_blocks", "tile_p", "block_l", "cutoff_cm1",
                      "interpret"))
-def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts,
+def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts, active,
                              *, max_blocks, tile_p, block_l, cutoff_cm1,
                              interpret):
-    """nuc/sx/y: [B, Lp]; amps: [B, n_out, Lp]; nu2d: [Pp, 1].
-    Returns [B, n_out, Pp]."""
+    """nuc/sx/y: [B, Lp]; amps: [B, n_out, Lp]; nu2d: [Pp, 1]; active: [B]
+    int32 (0 = state provably all-zero, skipped).  Returns [B, n_out, Pp]."""
     B, Lp = nuc.shape
     n_out = amps.shape[1]
     Pp = nu2d.shape[0]
@@ -367,24 +387,24 @@ def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts,
     n_blocks = Lp // block_l
     grid = (B, n_tiles, int(max_blocks))
 
-    def nu_map(b, i, j, nblk, st):
+    def nu_map(b, i, j, nblk, st, act):
         return (i, 0)
 
-    def line_map(b, i, j, nblk, st):
-        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
-
-    def amps_map(b, i, j, nblk, st):
-        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
+    def line_map(b, i, j, nblk, st, act):
+        # Dead states pin the block index so the revisit check suppresses
+        # their DMAs (one copy per state instead of one per window step).
+        return (b, 0, jnp.where(act[b] != 0,
+                                jnp.minimum(st[i] + j, n_blocks - 1), 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_p, 1), nu_map),
             pl.BlockSpec((1, 1, block_l), line_map),
             pl.BlockSpec((1, 1, block_l), line_map),
             pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, n_out, block_l), amps_map),
+            pl.BlockSpec((1, n_out, block_l), line_map),
         ],
         out_specs=pl.BlockSpec((1, n_out, tile_p),
                                lambda b, i, j, *_: (b, 0, i)),
@@ -395,8 +415,8 @@ def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts,
         out_shape=jax.ShapeDtypeStruct((B, n_out, Pp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, starts, nu2d, nuc.reshape(B, 1, Lp), sx.reshape(B, 1, Lp),
-      y.reshape(B, 1, Lp), amps)
+    )(counts, starts, active, nu2d, nuc.reshape(B, 1, Lp),
+      sx.reshape(B, 1, Lp), y.reshape(B, 1, Lp), amps)
 
 
 def accumulate_pallas_batch(
@@ -407,8 +427,8 @@ def accumulate_pallas_batch(
     y: jnp.ndarray,
     amps: jnp.ndarray,
     *,
-    tile_p: int = 256,
-    block_l: int = 256,
+    tile_p: int = DEFAULT_TILE_P,
+    block_l: int = DEFAULT_BLOCK_L,
     cutoff_cm1: Optional[float] = 25.0,
     shift_margin_cm1: float = 1.0,
     interpret: bool = False,
@@ -420,7 +440,9 @@ def accumulate_pallas_batch(
     centers ``nu0_host`` (sorted, C1), widened by ``shift_margin_cm1`` to
     cover any pressure shift, and shared across the batch — the in-kernel
     |dnu| <= cutoff mask does the exact per-element windowing, so results
-    match the jnp path to roundoff.
+    match the jnp path to roundoff.  States whose amplitudes are ALL zero
+    (dead limb layers below the tangent point) are skipped in-kernel
+    (bit-exact: their contribution is exactly 0 either way).
     """
     nu_host = np.asarray(nu_grid, dtype=np.float32)
     nu0_host = np.asarray(nu0_host, dtype=np.float32)
@@ -448,11 +470,58 @@ def accumulate_pallas_batch(
     nu2d = jnp.asarray(nu_pad).reshape(Pp, 1)
     amps_p = jnp.zeros((B, n_out, Lp), jnp.float32).at[:, :, :L].set(
         amps.astype(jnp.float32))
+    active = jnp.any(amps != 0, axis=(1, 2)).astype(jnp.int32)
     out = _accumulate_batch_padded(
         nu2d, padl(nu_c, far), padl(scale_x, 1e6), padl(y, 1e6), amps_p,
-        jnp.asarray(starts), jnp.asarray(counts), max_blocks=max_blocks,
-        tile_p=tile_p, block_l=block_l, cutoff_cm1=cutoff_cm1,
-        interpret=interpret)
+        jnp.asarray(starts), jnp.asarray(counts), active,
+        max_blocks=max_blocks, tile_p=tile_p, block_l=block_l,
+        cutoff_cm1=cutoff_cm1, interpret=interpret)
+    return out[:, :, :P]
+
+
+def accumulate_pallas_batch_jit(nu_grid, nu_c, sx, y, amps, *,
+                                tile_p: int = DEFAULT_TILE_P,
+                                block_l: int = DEFAULT_BLOCK_L,
+                                cutoff_cm1: Optional[float] = 25.0,
+                                interpret: bool = False,
+                                windows=None) -> jnp.ndarray:
+    """Batched stage-2 accumulation, jit-composable (all inputs may be
+    traced): nu_c/sx/y [B, L], amps [B, n_out, L] -> [B, n_out, P] float32.
+
+    The batch analog of :func:`spectrobot_tpu.ops.opacity.
+    accumulate_pallas_jit`: padding is jnp (trace-safe), ``windows`` =
+    (starts, counts, max_blocks) bakes ragged block tables in (constant or
+    traced; max_blocks must be a python int), and all-zero states are
+    skipped in-kernel (bit-exact — see :func:`_batch_kernel`)."""
+    P = nu_grid.shape[0]
+    B, L = nu_c.shape
+    n_out = amps.shape[1]
+    Pp = _round_up(max(P, tile_p), tile_p)
+    Lp = _round_up(max(L, block_l), block_l)
+    far_nu = jnp.max(nu_grid).astype(jnp.float32) + 1e6
+    far_line = jnp.max(nu_c).astype(jnp.float32) + 1e7
+    nu_pad = jnp.full((Pp,), far_nu, jnp.float32).at[:P].set(
+        nu_grid.astype(jnp.float32))
+    padl = lambda a, fill: jnp.full((B, Lp), fill, jnp.float32).at[:, :L].set(
+        a.astype(jnp.float32))
+    amps_p = jnp.zeros((B, n_out, Lp), jnp.float32).at[:, :, :L].set(
+        amps.astype(jnp.float32))
+    n_tiles = Pp // tile_p
+    n_blocks = Lp // block_l
+    if windows is None:
+        starts = jnp.zeros((n_tiles,), jnp.int32)
+        counts = jnp.full((n_tiles,), n_blocks, jnp.int32)
+        max_blocks = n_blocks
+    else:
+        st, ct, max_blocks = windows
+        starts = jnp.asarray(st, jnp.int32)
+        counts = jnp.asarray(ct, jnp.int32)
+    active = jnp.any(amps != 0, axis=(1, 2)).astype(jnp.int32)
+    out = _accumulate_batch_padded(
+        nu_pad.reshape(Pp, 1), padl(nu_c, far_line), padl(sx, 1e6),
+        padl(y, 1e6), amps_p, starts, counts, active,
+        max_blocks=int(max_blocks), tile_p=tile_p, block_l=block_l,
+        cutoff_cm1=cutoff_cm1, interpret=interpret)
     return out[:, :, :P]
 
 
@@ -512,12 +581,15 @@ def _basis_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
                           + dot(c3_ref[:, :], xKx) + dot(c4_ref[:, :], Ky))
 
 
-def _basis_batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
-                        c1_ref, c2_ref, c3_ref, c4_ref, out_ref,
-                        *, cutoff: Optional[float]):
+def _basis_batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref,
+                        sx_ref, y_ref, c1_ref, c2_ref, c3_ref, c4_ref,
+                        out_ref, *, cutoff: Optional[float]):
     """Batched fused basis contraction: one (ray x layer) state per leading
     grid dim.  nuc/sx/y_ref: [1, 1, BLOCK_L]; c*_ref: [1, R, BLOCK_L];
-    out_ref: [1, R, TILE_P]."""
+    out_ref: [1, R, TILE_P].  ``act_ref`` [B]: states whose coefficient
+    rows are ALL zero contribute exactly 0 and are skipped (bit-exact; the
+    dead-limb-layer economics of :func:`_batch_kernel`)."""
+    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -525,7 +597,7 @@ def _basis_batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
     def _init():
         out_ref[0, :, :] = jnp.zeros_like(out_ref)[0]
 
-    @pl.when(j < nblk_ref[i])
+    @pl.when(jnp.logical_and(j < nblk_ref[i], act_ref[b] != 0))
     def _accum():
         dnu = nu_ref[:, :] - nuc_ref[0, :, :]
         x = dnu * sx_ref[0, :, :]
@@ -549,7 +621,7 @@ def _basis_batch_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
 
 
 def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
-                              *, tile_p: int = 256, block_l: int = 256,
+                              *, tile_p: int = DEFAULT_TILE_P, block_l: int = DEFAULT_BLOCK_L,
                               cutoff_cm1: Optional[float] = 25.0,
                               interpret: bool = False,
                               windows=None) -> jnp.ndarray:
@@ -619,15 +691,21 @@ def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
 
 
 def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
-                                    *, tile_p: int = 256, block_l: int = 256,
+                                    *, tile_p: int = DEFAULT_TILE_P,
+                                    block_l: int = DEFAULT_BLOCK_L,
                                     cutoff_cm1: Optional[float] = 25.0,
                                     interpret: bool = False,
-                                    windows=None) -> jnp.ndarray:
+                                    windows=None,
+                                    active=None) -> jnp.ndarray:
     """Batched fused basis contraction, jit-composable.
 
     nu_c/sx/y: [B, L]; C1..C4: [B, R, L].  Returns [B, R, P] float32.
     ``windows``: ragged windows, constant or traced (single-state
-    docstring).
+    docstring).  ``active`` [B] (int32; 0 = skip): states whose FOUR
+    coefficient inputs are all zero produce exactly 0 and are skipped
+    in-kernel; default derives the mask from C1..C4 on device (callers who
+    know a cheaper sufficient statistic — e.g. the tangent fold, where
+    C2..C4 are amps-scaled so cat(amps, C1) covers everything — pass it).
     """
     P = nu_grid.shape[0]
     B, L = nu_c.shape
@@ -653,24 +731,29 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
         starts = jnp.asarray(st, jnp.int32)
         counts = jnp.asarray(ct, jnp.int32)
 
-    def line_map(b, i, j, nblk, st):
-        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
+    if active is None:
+        nz = lambda C: jnp.any(C != 0, axis=(1, 2))
+        active = (nz(C1) | nz(C2) | nz(C3) | nz(C4)).astype(jnp.int32)
+    else:
+        active = jnp.asarray(active, jnp.int32)
 
-    def coef_map(b, i, j, nblk, st):
-        return (b, 0, jnp.minimum(st[i] + j, n_blocks - 1))
+    def line_map(b, i, j, nblk, st, act):
+        # Dead states pin the block index (suppresses their DMAs).
+        return (b, 0, jnp.where(act[b] != 0,
+                                jnp.minimum(st[i] + j, n_blocks - 1), 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, n_tiles, int(max_blocks)),
         in_specs=[
             pl.BlockSpec((tile_p, 1), lambda b, i, j, *_: (i, 0)),
             pl.BlockSpec((1, 1, block_l), line_map),
             pl.BlockSpec((1, 1, block_l), line_map),
             pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, R, block_l), coef_map),
-            pl.BlockSpec((1, R, block_l), coef_map),
-            pl.BlockSpec((1, R, block_l), coef_map),
-            pl.BlockSpec((1, R, block_l), coef_map),
+            pl.BlockSpec((1, R, block_l), line_map),
+            pl.BlockSpec((1, R, block_l), line_map),
+            pl.BlockSpec((1, R, block_l), line_map),
+            pl.BlockSpec((1, R, block_l), line_map),
         ],
         out_specs=pl.BlockSpec((1, R, tile_p), lambda b, i, j, *_: (b, 0, i)),
     )
@@ -680,7 +763,7 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
         out_shape=jax.ShapeDtypeStruct((B, R, Pp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, starts, nu_pad.reshape(Pp, 1),
+    )(counts, starts, active, nu_pad.reshape(Pp, 1),
       padl(nu_c, far_line).reshape(B, 1, Lp), padl(sx, 1e6).reshape(B, 1, Lp),
       padl(y, 1e6).reshape(B, 1, Lp), padc(C1), padc(C2), padc(C3), padc(C4))
     return out[:, :, :P]
@@ -707,7 +790,7 @@ def _tile_windows(nu_host: np.ndarray, nuc_host: np.ndarray, tile_p: int,
 
 
 def static_windows_T(nu_host: np.ndarray, nu0_host: np.ndarray, *,
-                     tile_p: int = 256, block_l: int = 256,
+                     tile_p: int = DEFAULT_TILE_P, block_l: int = DEFAULT_BLOCK_L,
                      cutoff_cm1: Optional[float] = 25.0,
                      shift_margin_cm1: float = 1.0):
     """Per-BLOCK tile windows for the transpose kernel (same padding and
@@ -777,7 +860,7 @@ def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
 
 
 def basis_transpose_pallas_jit(nu_grid, nu_c, sx, y, ct,
-                               *, tile_p: int = 256, block_l: int = 256,
+                               *, tile_p: int = DEFAULT_TILE_P, block_l: int = DEFAULT_BLOCK_L,
                                cutoff_cm1: Optional[float] = 25.0,
                                interpret: bool = False,
                                windows_T=None):
@@ -851,8 +934,8 @@ def accumulate_pallas(
     nu_grid: jnp.ndarray,
     kl: KernelLines,
     *,
-    tile_p: int = 256,
-    block_l: int = 256,
+    tile_p: int = DEFAULT_TILE_P,
+    block_l: int = DEFAULT_BLOCK_L,
     cutoff_cm1: Optional[float] = 25.0,
     interpret: bool = False,
 ) -> jnp.ndarray:

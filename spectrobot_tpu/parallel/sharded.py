@@ -137,7 +137,8 @@ def sharded_radiance_fn(
             and win_grid is not None and win_lines is not None):
         import numpy as np
 
-        from spectrobot_tpu.ops.pallas_opacity import static_windows
+        from spectrobot_tpu.ops.pallas_opacity import (
+            DEFAULT_TILE_P, static_windows)
         g = np.asarray(win_grid, np.float64)
         assert g.shape[0] % n_nu == 0
         g = g.reshape(n_nu, -1)
@@ -161,7 +162,7 @@ def sharded_radiance_fn(
         else:
             assert arr.ndim == 2 and arr.shape[0] == n_nu
             Lloc = arr.shape[1] // n_line
-            n_t = -(-g.shape[1] // 256)             # tiles per chunk
+            n_t = -(-g.shape[1] // DEFAULT_TILE_P)  # tiles per chunk
             WSTn = np.zeros((n_nu, 3, n_line, n_t), np.int32)
             WCTn = np.zeros_like(WSTn)
             for k in range(n_nu):

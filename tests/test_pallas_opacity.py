@@ -130,7 +130,8 @@ def test_static_windows_bit_parity():
     windowed fused engine is ~20% faster at production scale)."""
     from spectrobot_tpu.ops.opacity import (
         KernelLines, accumulate_pallas_jit, line_kernel_inputs)
-    from spectrobot_tpu.ops.pallas_opacity import static_windows
+    from spectrobot_tpu.ops.pallas_opacity import (
+        DEFAULT_BLOCK_L, static_windows)
     from spectrobot_tpu.data.synth import random_lines
     from spectrobot_tpu.ops.strengths import device_lines_from_linelist
 
@@ -143,7 +144,8 @@ def test_static_windows_bit_parity():
     nu = jnp.asarray(np.linspace(600.0, 750.0, 2048), jnp.float32)
     win = static_windows(np.asarray(nu), np.asarray(dl.nu0),
                          cutoff_cm1=25.0)
-    assert win[2] < (700 + 255) // 256 + 1   # something was actually skipped
+    n_blocks = -(-700 // DEFAULT_BLOCK_L)
+    assert win[2] < n_blocks + 1             # something was actually skipped
     ref = np.asarray(accumulate_pallas_jit(nu, kl, cutoff_cm1=25.0,
                                            interpret=True))
     got = np.asarray(accumulate_pallas_jit(nu, kl, cutoff_cm1=25.0,
