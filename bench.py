@@ -58,6 +58,23 @@ BASELINE_LIMB_SCAN_S = 0.80  # forward + full analytic Jacobian, v5e
 # the production-scale pallas scenario.
 BASELINE_FUSED_S = 1.62
 
+# GATE constants (benchmarks/test_perf_gates.py) — round-3 DEVICE-TIME
+# measurements (BENCH_r03.json: limb 0.509 s, fused 0.627 s, kernel
+# 4.06e10) plus ~25-30 % tunnel-variance margin.  The old host-loop
+# baselines above stay as vs_baseline denominators for trend continuity,
+# but gating against them would let a ~2x device-time regression pass
+# (round-3 ADVICE item 1): a chained-dispatch measurement must be gated
+# against a chained-dispatch baseline.
+GATE_LIMB_SCAN_S = 0.65
+GATE_FUSED_S = 0.80
+# Regression FLOOR for the kernel gate (VERDICT r3 weak item 7): the 1e9
+# target alone would let a 10-40x kernel regression pass silently; half
+# the round-3 measurement actually guards the achieved level.
+GATE_KERNEL_FLOOR = 2.0e10
+# Mesh-composition overhead gate: sharded+pallas on one chip must stay
+# within 10 % of the plain single-device kernel path (round 3: 1.00x).
+GATE_MESH_OVERHEAD_MIN = 0.90
+
 
 def device_time(fn, x0, perturb, n_iter: int, n_rep: int) -> float:
     """Per-call device seconds for ``fn(x)``: n_iter calls chained in ONE
@@ -74,6 +91,10 @@ def device_time(fn, x0, perturb, n_iter: int, n_rep: int) -> float:
             xx, _out = carry
             out = fn(xx)
             s = jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
+            # nan_to_num before the zero-scale: 0.0 * Inf/NaN is NaN, which
+            # would poison iterations 2..N (and flip amps!=0 active masks,
+            # silently measuring a different workload — round-3 ADVICE).
+            s = jnp.nan_to_num(s, nan=0.0, posinf=0.0, neginf=0.0)
             return perturb(xx, 0.0 * s), out
 
         return jax.lax.fori_loop(1, n_iter, body, (x, out0))[1]
@@ -191,7 +212,7 @@ def bench_fused_pallas(on_tpu: bool) -> tuple:
     return t_fwd, t_jac
 
 
-def bench_sharded_pallas(on_tpu: bool) -> float:
+def bench_sharded_pallas(on_tpu: bool) -> tuple:
     """The mesh path with the Pallas engine INSIDE the shard_map body on
     the available chip(s) — captures that the kernel and the mesh compose
     on hardware (VERDICT.md round-2 item 1); on one chip the mesh is
@@ -248,7 +269,7 @@ def bench_sharded_pallas(on_tpu: bool) -> float:
                 f"{n_dev} chip)",
         "vs_baseline": t_single / t_mesh,  # 1.0 = zero mesh overhead
     }))
-    return t_mesh
+    return t_mesh, t_single
 
 
 def bench_kernel(on_tpu: bool) -> float:

@@ -309,8 +309,9 @@ def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
     return unr(ct_nc), unr(ct_sx), unr(ct_y), ct_amps
 
 
-def accumulate_pallas_jit(nu_grid, kl: KernelLines, *, tile_p: int = None,
-                          block_l: int = None,
+def accumulate_pallas_jit(nu_grid, kl: KernelLines, *,
+                          tile_p: Optional[int] = None,
+                          block_l: Optional[int] = None,
                           cutoff_cm1: Optional[float] = 25.0,
                           interpret: bool = False,
                           windows=None) -> jnp.ndarray:

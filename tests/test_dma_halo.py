@@ -1,15 +1,31 @@
-"""Pallas remote-DMA ring exchange (C25 native tier) — semaphore protocol
-and data movement under interpret mode on the emulated mesh (SURVEY.md 5.4,
-section 6 'race detection')."""
+"""Pallas remote-DMA ring exchange — semaphore protocol and data movement
+under interpret mode on the emulated mesh (SURVEY.md 5.4, section 6 'race
+detection').
+
+The module under test is the RETIRED experimental tier living in
+``benchmarks/dma_halo.py`` (see its docstring for the retirement
+rationale); these tests keep the send/recv semaphore protocol — the one
+place in the repo where races are possible — under regression coverage."""
+
+import importlib.util
+import pathlib
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from spectrobot_tpu.parallel.dma_halo import (
-    nu_ring_mesh, ring_exchange, ring_halo_lines,
-)
+_DMA_PATH = (pathlib.Path(__file__).resolve().parent.parent / "benchmarks"
+             / "dma_halo.py")
+_spec = importlib.util.spec_from_file_location("dma_halo", _DMA_PATH)
+dma_halo = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("dma_halo", dma_halo)
+_spec.loader.exec_module(dma_halo)
+
+nu_ring_mesh = dma_halo.nu_ring_mesh
+ring_exchange = dma_halo.ring_exchange
+ring_halo_lines = dma_halo.ring_halo_lines
 
 
 @pytest.mark.parametrize("n_shards", [2, 4, 8])
@@ -60,7 +76,7 @@ def test_fused_halo_accumulate_matches_single_device(n_shards):
         KernelLines, accumulate_jnp, line_kernel_inputs,
     )
     from spectrobot_tpu.ops.strengths import device_lines_from_linelist
-    from spectrobot_tpu.parallel.dma_halo import fused_halo_accumulate_fn
+    fused_halo_accumulate_fn = dma_halo.fused_halo_accumulate_fn
     from spectrobot_tpu.parallel.halo import (
         nu_shard_edges, partition_kernel_lines,
     )

@@ -145,7 +145,11 @@ def test_static_windows_bit_parity():
     win = static_windows(np.asarray(nu), np.asarray(dl.nu0),
                          cutoff_cm1=25.0)
     n_blocks = -(-700 // DEFAULT_BLOCK_L)
-    assert win[2] < n_blocks + 1             # something was actually skipped
+    # STRICT skipping: with 128-line blocks and a 25 cm^-1 cutoff over a
+    # 150 cm^-1 span, every tile's window must be well below all-blocks
+    # (the old `< n_blocks + 1` form was vacuous — max(counts) can never
+    # exceed n_blocks; round-3 ADVICE item 2).
+    assert win[2] < n_blocks, (win[2], n_blocks)
     ref = np.asarray(accumulate_pallas_jit(nu, kl, cutoff_cm1=25.0,
                                            interpret=True))
     got = np.asarray(accumulate_pallas_jit(nu, kl, cutoff_cm1=25.0,
