@@ -644,3 +644,59 @@ def test_no_silently_ignored_config_flags():
             assert key in src, (
                 f"config key [{section.name}] {key} is never referenced in "
                 f"cli.py — either wire it or fail loudly on use")
+
+
+def test_one_engine_policy_across_subcommands(tmp_path, monkeypatch, capsys):
+    """ONE engine policy (VERDICT r3 weak item 2 / next item 4): forward
+    (single-device), forward (mesh), and retrieve must ALL route their
+    opacity-engine choice through cli._engine with the same line count for
+    the same config — no path may consult compute.use_pallas directly and
+    silently take a different engine."""
+    import spectrobot_tpu.cli as cli_mod
+
+    calls = []
+    real_engine = cli_mod._engine
+
+    def recording_engine(cfg, n_lines):
+        out = real_engine(cfg, n_lines)
+        calls.append((n_lines, out))
+        return out
+
+    monkeypatch.setattr(cli_mod, "_engine", recording_engine)
+
+    base = _TINY + f"[run]\noutput_dir = \"{tmp_path}/ep\"\n"
+    c = tmp_path / "ep.toml"
+    c.write_text(base)
+
+    assert cli_mod.main(["forward", str(c)]) == 0
+    n_fwd = len(calls)
+    assert n_fwd >= 1, "single-device forward must consult _engine"
+
+    assert cli_mod.main(["forward", str(c), "-o", "compute.mesh_nu=8"]) == 0
+    n_mesh = len(calls)
+    assert n_mesh > n_fwd, "mesh forward must consult _engine"
+
+    assert cli_mod.main(["retrieve", str(c)]) == 0
+    assert len(calls) > n_mesh, "retrieve must consult _engine"
+
+    n_lines = {n for n, _ in calls}
+    engines = {e for _, e in calls}
+    assert len(n_lines) == 1, f"paths saw different line counts: {calls}"
+    assert len(engines) == 1, f"paths chose different engines: {calls}"
+    capsys.readouterr()
+
+
+def test_cli_mesh_halo_too_narrow_fails_loudly(tmp_path):
+    """A TOML-reachable mesh_halo config whose grid is narrower than
+    mesh_nu * cutoff must raise a ValueError naming the config keys to
+    change, not a bare AssertionError (VERDICT r3 weak item 6)."""
+    from spectrobot_tpu.cli import main
+    c = tmp_path / "narrow.toml"
+    c.write_text(_TINY + f"[run]\noutput_dir = \"{tmp_path}/nh\"\n")
+    with pytest.raises(ValueError) as exc:
+        main(["forward", str(c), "-o", "compute.mesh_nu=8",
+              "-o", "compute.mesh_halo=true"])
+    msg = str(exc.value)
+    for key in ("compute.cutoff_cm1", "compute.mesh_nu", "grid.nu_min",
+                "compute.mesh_halo"):
+        assert key in msg, f"error must name {key}: {msg}"

@@ -53,7 +53,7 @@ def test_partition_covers_all_lines():
 
 def test_cutoff_wider_than_shard_rejected():
     _, _, nu = _scene(P=512)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="compute.cutoff_cm1"):
         nu_shard_edges(np.asarray(nu), 8, 50.0)
 
 

@@ -94,7 +94,7 @@ def test_sharded_engine_halo_matrix(shape, engine, halo, windowed):
 def test_halo_partition_guard():
     """cutoff > shard width must fail loudly (wings would skip a shard)."""
     ll, dl, nu, cg = _scene()
-    with pytest.raises(AssertionError, match="wing cutoff"):
+    with pytest.raises(ValueError, match="wing cutoff"):
         partition_lines_by_nu(dl, np.asarray(nu), 8, cutoff_cm1=25.0)
 
 
