@@ -38,7 +38,11 @@ def main() -> None:
     ap.add_argument("--lines", type=int, default=2000)
     ap.add_argument("--rays", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--json-out", default=None,
+                    help="also write all records to this JSON file "
+                         "(tracked artifact: benchmarks/SCALING.json)")
     args = ap.parse_args()
+    records = []
 
     if args.devices:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -103,11 +107,13 @@ def main() -> None:
                              chunk=256)
     nu_s1, lines_s1, cg_s1, _, _ = stage_sharded(mesh1, nu1, dl, cg)
     t_mesh1 = timeit(lambda: f1(nu_s1, lines_s1, cg_s1, nu_off=nu1_off))
-    print(json.dumps({
+    rec = {
         "metric": "sharded_overhead_1dev",
         "t_plain_s": round(t_plain, 4), "t_mesh_s": round(t_mesh1, 4),
         "overhead_frac": round(t_mesh1 / t_plain - 1.0, 4),
-    }))
+    }
+    records.append(rec)
+    print(json.dumps(rec))
     sys.stdout.flush()
 
     sizes = []
@@ -136,13 +142,32 @@ def main() -> None:
         if base_rate is None:
             base_rate = rate / n                # per-device baseline
         eff = rate / (base_rate * n)
-        print(json.dumps({
+        rec = {
             "n_devices": n, "grid_points": P,
             "wall_s": round(dt, 4),
             "grid_points_per_s": rate,
             "efficiency_vs_1dev": round(eff, 4),
-        }))
+        }
+        records.append(rec)
+        print(json.dumps(rec))
         sys.stdout.flush()
+
+    if args.json_out:
+        n_cores = os.cpu_count()
+        label = ("harness-validation (emulated CPU devices time-sharing "
+                 f"{n_cores} physical cores — validates the weak-scaling "
+                 "path end-to-end; efficiency ~cores/devices is EXPECTED "
+                 "here and says nothing about the >=80% ICI claim, which "
+                 "needs >1 real chip)" if devices[0].platform != "tpu"
+                 else f"{n_max}-chip {devices[0].device_kind}")
+        with open(args.json_out, "w") as fh:
+            json.dump({"label": label, "platform": devices[0].platform,
+                       "n_devices_max": n_max, "host_cores": n_cores,
+                       "points_per_device": args.points_per_device,
+                       "n_lines": int(dl.n_lines), "n_rays": args.rays,
+                       "records": records}, fh, indent=2)
+            fh.write("\n")
+        print(f"wrote {args.json_out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
