@@ -48,10 +48,15 @@ def test_native_matches_numpy_parser():
 
 @needs_native
 def test_native_handles_edge_inputs():
-    # Short lines, blank lines, trailing newline-less record.
-    text = "junk\n\n" + _sample_text(3) + "\nshort line"
+    # Blank lines are skipped; a trailing newline-less record parses.
+    text = "\n" + _sample_text(3).rstrip("\n")
     ll = parse_par_text(text, use_native="always")
     assert len(ll) == 3
+    # Truncated/junk records are REJECTED loudly (round-4 contract: both
+    # engines refuse to silently drop records — VERDICT r3 item 5).
+    import pytest
+    with pytest.raises(ValueError, match="malformed .par record"):
+        parse_par_text("junk\n" + _sample_text(3), use_native="always")
     # Empty input
     assert len(parse_par_text("", use_native="never")) == 0
 
