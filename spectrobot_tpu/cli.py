@@ -412,8 +412,30 @@ def cmd_forward(cfg) -> dict:
 
     os.makedirs(cfg.run.output_dir, exist_ok=True)
     out_path = os.path.join(cfg.run.output_dir, "forward.npz")
-    np.savez(out_path, radiance=I, nu=np.asarray(nu),
-             tangent_heights_km=np.asarray(cfg.geometry.tangent_heights_km))
+    # Emit through the Spectrum family (the reference's user-facing
+    # SpectralObject currency, SURVEY.md 1.2) so forward.npz carries the
+    # CORRECT output axis + units: after ILS channelisation the spectral
+    # axis is the instrument channel centers, not the fine grid (round-4
+    # fix — the old writer paired channelised radiances with the fine nu).
+    from spectrobot_tpu.spectra import radiance as _radiance_spectrum
+    out_grid = np.asarray(_chans if W is not None else nu, np.float64)
+    sp = _radiance_spectrum(out_grid, I)
+    extra = {"tangent_heights_km": np.asarray(
+        cfg.geometry.tangent_heights_km)}
+    if W is not None:
+        extra["nu_fine"] = np.asarray(nu)      # the monochromatic grid
+    sp.save_npz(out_path, radiance=I, **extra)  # 'radiance' = compat alias
+    try:
+        from spectrobot_tpu.utils.plots import plot_radiances
+        labels = ([f"{h:.1f} km" for h in cfg.geometry.tangent_heights_km]
+                  if is_limb else
+                  [f"sec={s_:.2f}" for s_ in cfg.geometry.sec_theta])
+        plot_radiances(os.path.join(cfg.run.output_dir, "forward.png"),
+                       np.asarray(sp.nu), np.asarray(sp.values),
+                       labels=labels if len(labels) == I.shape[0] else None,
+                       title=f"{cfg.geometry.mode} {sp.kind} [{sp.units}]")
+    except Exception as e:  # plotting must never fail a forward
+        print(f"plotting skipped: {e}", file=sys.stderr)
     print(f"forward: {I.shape} radiances in {wall:.2f}s -> {out_path}",
           file=sys.stderr)
     return {"radiance_shape": list(I.shape), "wall_s": wall,

@@ -36,6 +36,17 @@ import numpy as np
 KINDS = ("radiance", "transmittance", "optical_depth", "absorption_coeff",
          "emission_coeff", "brightness_temperature", "generic")
 
+# Physical units per kind (wavenumber convention: cm^-1 everywhere).
+UNITS = {
+    "radiance": "W m^-2 sr^-1 (cm^-1)^-1",
+    "transmittance": "1",
+    "optical_depth": "1",
+    "absorption_coeff": "cm^2 molec^-1",
+    "emission_coeff": "W m^-2 sr^-1 (cm^-1)^-1 cm^2 molec^-1",
+    "brightness_temperature": "K",
+    "generic": "",
+}
+
 
 @jax.tree_util.register_pytree_node_class
 class Spectrum:
@@ -201,13 +212,25 @@ class Spectrum:
         return Spectrum(jnp.asarray(nu_channels), apply_ils(self.values, W),
                         self.kind)
 
+    # -- units ---------------------------------------------------------------
+    @property
+    def units(self) -> str:
+        return UNITS[self.kind]
+
     # -- persistence (reference: pickle; ours: npz) ---------------------------
-    def save_npz(self, path: str) -> None:
+    def save_npz(self, path: str, **extra) -> None:
+        """Write the Spectrum + axes/units metadata (and any ``extra``
+        arrays, e.g. tangent_heights_km) as npz — the CLI's forward output
+        format (``python -m spectrobot_tpu forward``)."""
         np.savez(path, nu=np.asarray(self.nu),
-                 values=np.asarray(self.values), kind=self.kind)
+                 values=np.asarray(self.values), kind=self.kind,
+                 units=self.units,
+                 **{k: np.asarray(v) for k, v in extra.items()})
 
     @staticmethod
     def load_npz(path: str) -> "Spectrum":
+        """Load a Spectrum saved by :meth:`save_npz` (extra arrays are
+        ignored here; read them with ``np.load`` directly)."""
         d = np.load(path, allow_pickle=False)
         return Spectrum(jnp.asarray(d["nu"]), jnp.asarray(d["values"]),
                         str(d["kind"]))

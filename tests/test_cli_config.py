@@ -700,3 +700,33 @@ def test_cli_mesh_halo_too_narrow_fails_loudly(tmp_path):
     for key in ("compute.cutoff_cm1", "compute.mesh_nu", "grid.nu_min",
                 "compute.mesh_halo"):
         assert key in msg, f"error must name {key}: {msg}"
+
+
+def test_cli_forward_emits_spectrum_family(tmp_path, capsys):
+    """forward.npz is written through the Spectrum family (VERDICT r3 weak
+    item 5): loads as a Spectrum with kind/units metadata, and the spectral
+    axis is the INSTRUMENT CHANNEL grid when ILS is enabled (the old writer
+    paired channelised radiances with the fine grid)."""
+    from spectrobot_tpu.cli import main
+    from spectrobot_tpu.spectra import Spectrum
+
+    c = tmp_path / "sp.toml"
+    c.write_text(_TINY + f"[run]\noutput_dir = \"{tmp_path}/sp\"\n")
+    assert main(["forward", str(c)]) == 0
+    capsys.readouterr()
+    path = f"{tmp_path}/sp/forward.npz"
+    sp = Spectrum.load_npz(path)
+    assert sp.kind == "radiance"
+    assert sp.units.startswith("W m^-2")
+    # _TINY enables the instrument with 40 channels over a 160-pt grid.
+    assert sp.values.shape == (2, 40)
+    assert sp.nu.shape == (40,)                 # channel centers, not 160
+    with np.load(path) as z:
+        assert str(z["units"]) == sp.units
+        np.testing.assert_array_equal(z["radiance"], np.asarray(sp.values))
+        assert z["nu_fine"].shape == (160,)     # fine grid kept alongside
+    # The Spectrum API consumes it: brightness temperature is finite and
+    # physically sensible for a cold Mars limb.
+    tb = sp.brightness_temperature()
+    assert np.isfinite(np.asarray(tb.values)).all()
+    assert float(np.asarray(tb.values).max()) < 400.0
