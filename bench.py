@@ -5,7 +5,9 @@ the round-3 production-engine captures).
 1. Limb-scan wall-clock: Mars limb forward model (20 tangent heights,
    8192 spectral points, 32 layers, ILS) + full analytic Jacobian over the
    32-parameter temperature profile — the end-to-end production economics
-   (XLA engine at 161 lines: the small-line-list regime).
+   at 161 lines (round 4: the Pallas engine, which now wins at every
+   measured line count on TPU — see cli._engine; round-3 numbers used the
+   XLA scan here).
 2. Fused-engine wall-clock (VERDICT.md round-2 weak item 2): the SAME
    scene at production scale (2048 lines) with engine='pallas' — forward +
    fused in-kernel {K, Kx, xKx, Ky} analytic Jacobian, the framework's
@@ -65,7 +67,7 @@ BASELINE_FUSED_S = 1.62
 # but gating against them would let a ~2x device-time regression pass
 # (round-3 ADVICE item 1): a chained-dispatch measurement must be gated
 # against a chained-dispatch baseline.
-GATE_LIMB_SCAN_S = 0.65
+GATE_LIMB_SCAN_S = 0.50  # round-4 pallas-engine 0.370 s + ~35% margin
 GATE_FUSED_S = 0.80
 # Regression FLOOR for the kernel gate (VERDICT r3 weak item 7): the 1e9
 # target alone would let a 10-40x kernel regression pass silently; half
@@ -133,8 +135,11 @@ def bench_limb_scan(on_tpu: bool) -> tuple:
     chans = np.linspace(605.0, 745.0, 256)
     W = jnp.asarray(ils_matrix(nu64, chans, fwhm=0.8), jnp.float32)
 
+    # Production engine policy (cli._engine): pallas on TPU at any size.
     fwd = build_forward(atm, dl, nu, ["CO2"], MARS, tangent_heights_m=ths,
-                        ils_W=W, nu_off=nu_off)
+                        ils_W=W, nu_off=nu_off,
+                        engine="pallas" if on_tpu else "jnp",
+                        interpret=False)
     state = make_state(atm, retrieve_vmr=[])
     x0, unravel = flatten_state(state)
     fwd_flat = lambda x: fwd(unravel(x))

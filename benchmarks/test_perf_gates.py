@@ -13,8 +13,8 @@ Asserted thresholds (BASELINE.md + VERDICT.md rounds 1-3):
     10-40x regression pass silently (VERDICT r3 weak item 7);
   * README limb-scan scenario (20 tangent heights, 8192 pts, 32 layers,
     ILS): forward + full 32-column analytic Jacobian device time <=
-    bench.GATE_LIMB_SCAN_S (0.65 s = round-3 chained-dispatch 0.509 s
-    + margin — re-baselined per round-3 ADVICE: the old 0.80 s host-loop
+    bench.GATE_LIMB_SCAN_S (0.50 s = round-4 pallas-engine 0.370 s +
+    margin — re-baselined per round-3 ADVICE: the old 0.80 s host-loop
     constant would have passed a ~2x device-time regression);
   * fused-basis Pallas scenario (2048 lines, same scene): forward + full
     32-column Jacobian device time <= bench.GATE_FUSED_S (0.80 s =
@@ -56,7 +56,7 @@ def test_limb_scan_wall_clock_gate():
     t_fwd, t_jac = bench_limb_scan(on_tpu=True)
     assert t_fwd + t_jac <= GATE_LIMB_SCAN_S, (
         f"limb-scan forward+Jacobian {t_fwd + t_jac:.2f} s regressed past "
-        f"the {GATE_LIMB_SCAN_S} s device-time gate (round-3: 0.509 s)")
+        f"the {GATE_LIMB_SCAN_S} s device-time gate (round-4 pallas engine: 0.370 s)")
 
 
 def test_fused_pallas_jacobian_gate():
