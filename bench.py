@@ -291,10 +291,14 @@ def bench_kernel(on_tpu: bool) -> float:
                             amp_weights=jnp.ones((2, dl.n_lines), jnp.float32))
     nu = jnp.asarray(np.linspace(640.0, 700.0, P), jnp.float32)
 
-    # 256x512 is the best-measured dense configuration on v5e (the MXU
-    # reduction amortises better over 512-line blocks).
+    # 256x256 is the best-measured dense configuration on v5e (round-4
+    # sweep: 7.60 ms vs 8.20 ms at 256x512, 7.86 at 512x256; >=1024-wide
+    # tiles exhaust VMEM).  The production WINDOWED paths keep
+    # DEFAULT_BLOCK_L=128 — measured 1.6x faster there because finer
+    # blocks let the static ragged windows skip more (256 blocks: fused
+    # fwd 215 ms vs 132).
     run = lambda a: accumulate_pallas(nu, kl._replace(amps=a), tile_p=256,
-                                      block_l=512, cutoff_cm1=None,
+                                      block_l=256, cutoff_cm1=None,
                                       interpret=not on_tpu)
     t0 = time.time()
     jax.block_until_ready(jax.jit(run)(kl.amps))
