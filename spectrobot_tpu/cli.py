@@ -265,13 +265,10 @@ def cmd_forward(cfg) -> dict:
     import jax
     import jax.numpy as jnp
     from spectrobot_tpu.forward.geometry import limb_path_cg, nadir_path_cg
-    from spectrobot_tpu.forward.limb import limb_radiance, nadir_radiance
     from spectrobot_tpu.ops.ils import apply_fov, apply_ils
 
     (planet, atm, dl, species_names, nu, nu_off, W, _chans, nlte,
      cia) = build_scene(cfg)
-    kw = dict(variant=cfg.compute.variant, cutoff_cm1=cfg.compute.cutoff_cm1,
-              chunk=cfg.compute.chunk, nu_off=nu_off, cia=cia)
     # ONE engine policy (VERDICT r3 weak item 2): the single-device forward
     # honours the same measured selection as retrieve and the mesh path.
     use_pallas = _engine(cfg, dl.n_lines) == "pallas"
@@ -383,31 +380,54 @@ def cmd_forward(cfg) -> dict:
         I = jax.jit(lambda d, de: radiance_from_tau(
             nu, cg, d, de, cia=cia, T_surface=ts,
             emissivity=emis))(dtau, dtau_em)
-    elif is_limb:
-        cg = limb_path_cg(atm, species_names, h_t, planet, cfg.geometry.n_sub)
-        if use_pallas:
-            from spectrobot_tpu.forward.limb import limb_radiance_pallas
-            I = limb_radiance_pallas(nu, dl, cg, nlte,
-                                     cutoff_cm1=cfg.compute.cutoff_cm1,
-                                     nu_off=nu_off, cia=cia)
-        else:
-            I = jax.jit(lambda: limb_radiance(nu, dl, cg, nlte, **kw))()
     else:
-        cg = nadir_path_cg(atm, species_names, sec, cfg.geometry.n_sub)
-        if use_pallas and emis >= 1.0:
-            from spectrobot_tpu.forward.limb import limb_radiance_pallas
-            from spectrobot_tpu.ops.planck import planck_nu
-            I_bg = jnp.broadcast_to(
-                planck_nu(nu, cfg.geometry.t_surface).astype(jnp.float32),
-                (len(cfg.geometry.sec_theta), nu.shape[0]))
-            I = limb_radiance_pallas(nu, dl, cg, nlte, I_background=I_bg,
-                                     cutoff_cm1=cfg.compute.cutoff_cm1,
-                                     nu_off=nu_off, cia=cia)
+        # Single-device line-by-line path, restructured (round 4) around
+        # ONE (ray x layer) line sum: the raw depths feed the SHARED
+        # radiance epilogue (identical math to limb_radiance /
+        # nadir_radiance / limb_radiance_pallas — same tau_radiance_epilogue
+        # serves the mesh bodies), and [run] save_optics reuses the SAME
+        # depths for per-ray LOS optical-depth/transmittance output at no
+        # extra line-sum cost (the reference's SpectralObject family).
+        from spectrobot_tpu.forward.limb import (
+            layer_tau, layer_tau_pallas, tau_radiance_epilogue)
+        if is_limb:
+            cg = limb_path_cg(atm, species_names, h_t, planet,
+                              cfg.geometry.n_sub)
+            I_bg = None
         else:
-            I = jax.jit(lambda: nadir_radiance(nu, dl, cg,
-                                               cfg.geometry.t_surface,
-                                               emissivity=emis,
-                                               nlte=nlte, **kw))()
+            from spectrobot_tpu.ops.planck import planck_nu
+            cg = nadir_path_cg(atm, species_names, sec, cfg.geometry.n_sub)
+            I_bg = jnp.broadcast_to(
+                emis * planck_nu(nu, cfg.geometry.t_surface).astype(nu.dtype),
+                (int(sec.shape[0]), nu.shape[0]))
+        if use_pallas:
+            dtau, dtau_em = layer_tau_pallas(
+                nu, dl, cg, nlte, cutoff_cm1=cfg.compute.cutoff_cm1,
+                nu_off=nu_off)
+        else:
+            dtau, dtau_em = jax.jit(lambda: layer_tau(
+                nu, dl, cg, nlte, variant=cfg.compute.variant,
+                cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
+                nu_off=nu_off))()
+        I = jax.jit(lambda d, de: tau_radiance_epilogue(
+            nu.astype(d.dtype), cg, d, de, cia=cia, I_background=I_bg,
+            is_limb=is_limb, emissivity=emis))(dtau, dtau_em)
+        if cfg.run.save_optics:
+            from spectrobot_tpu.ops.cia import cia_dtau
+            from spectrobot_tpu.spectra import optical_depth as _tau_spectrum
+
+            def _los_tau(d):
+                if cia is not None:
+                    d = d + cia_dtau(cia, cg).astype(d.dtype)
+                return d[:, cg.seg_layer, :].sum(axis=1)
+
+            tau_los = np.asarray(jax.jit(_los_tau)(dtau))
+            sp_tau = _tau_spectrum(np.asarray(nu, np.float64), tau_los)
+            optics_path = os.path.join(cfg.run.output_dir, "optics.npz")
+            os.makedirs(cfg.run.output_dir, exist_ok=True)
+            sp_tau.save_npz(optics_path, transmittance=np.exp(-tau_los))
+            print(f"optics: LOS tau + transmittance -> {optics_path}",
+                  file=sys.stderr)
     if fov_V is not None:
         I = apply_fov(I, fov_V)
     if W is not None:

@@ -144,6 +144,10 @@ class RunConfig:
     output_dir: str = "out"
     checkpoint_dir: str = ""            # "" => <output_dir>/ck
     log_file: str = ""                  # "" => <output_dir>/run.jsonl
+    # Also write optics.npz from the forward: per-ray LOS optical depth
+    # + transmittance Spectra on the fine grid (single-device line-by-line
+    # path; reuses the forward's own depths, no extra line sum).
+    save_optics: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

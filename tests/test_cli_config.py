@@ -730,3 +730,66 @@ def test_cli_forward_emits_spectrum_family(tmp_path, capsys):
     tb = sp.brightness_temperature()
     assert np.isfinite(np.asarray(tb.values)).all()
     assert float(np.asarray(tb.values).max()) < 400.0
+
+
+def test_cli_retrieve_resumes_from_checkpoint(tmp_path, capsys):
+    """Failure recovery THROUGH THE CLI (SURVEY.md section 6): a run cut
+    off by the iteration budget leaves per-iteration checkpoints; simply
+    re-running the same command resumes from the last accepted iteration
+    instead of restarting, and converges."""
+    from spectrobot_tpu.cli import main
+
+    out = f"{tmp_path}/resume"
+    c = tmp_path / "r.toml"
+    c.write_text(_TINY.replace("max_iter = 8", "max_iter = 2")
+                 + f"[run]\noutput_dir = \"{out}\"\n")
+    assert main(["retrieve", str(c)]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["converged"] is False and first["stop_reason"] == "max_iter"
+    import glob
+    n_ck = len(glob.glob(f"{out}/ck/*.npz"))
+    assert n_ck >= 1, "interrupted run must leave checkpoints"
+
+    # Same command, bigger budget: resumes (iteration counter continues
+    # past the checkpointed iterations) and converges.
+    assert main(["retrieve", str(c), "-o", "retrieval.max_iter=8"]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["converged"] is True
+    # run.jsonl records the resumed iterations with indices continuing
+    # after the first run's (0-based: first run logged 0..1).
+    iters = [json.loads(l)["iteration"]
+             for l in open(f"{out}/run.jsonl") if "iteration" in l]
+    assert max(iters) >= 2 and 0 in iters
+
+
+def test_cli_forward_save_optics(tmp_path, capsys):
+    """[run] save_optics writes the reference's SpectralObject-family
+    optics (per-ray LOS optical depth + transmittance) from the SAME line
+    sum as the radiance — and the radiance output is unchanged by the
+    flag."""
+    from spectrobot_tpu.cli import main
+    from spectrobot_tpu.spectra import Spectrum
+
+    base = _TINY + "[run]\n"
+    c1 = tmp_path / "o1.toml"
+    c1.write_text(base + f"output_dir = \"{tmp_path}/o1\"\nsave_optics = true\n")
+    c2 = tmp_path / "o2.toml"
+    c2.write_text(base + f"output_dir = \"{tmp_path}/o2\"\n")
+    assert main(["forward", str(c1)]) == 0
+    assert main(["forward", str(c2)]) == 0
+    capsys.readouterr()
+
+    sp = Spectrum.load_npz(f"{tmp_path}/o1/optics.npz")
+    assert sp.kind == "optical_depth"
+    tau = np.asarray(sp.values)
+    assert tau.shape == (2, 160)        # per-ray, FINE grid (not channels)
+    assert np.isfinite(tau).all() and (tau >= 0).all()
+    # Low tangent ray is optically thicker than the high one at band center.
+    assert tau[0].max() > tau[1].max()
+    with np.load(f"{tmp_path}/o1/optics.npz") as z:
+        np.testing.assert_allclose(z["transmittance"], np.exp(-tau),
+                                   rtol=1e-12)
+    # Radiance identical with/without the flag.
+    with np.load(f"{tmp_path}/o1/forward.npz") as z1, \
+            np.load(f"{tmp_path}/o2/forward.npz") as z2:
+        np.testing.assert_array_equal(z1["radiance"], z2["radiance"])
