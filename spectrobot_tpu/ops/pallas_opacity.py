@@ -52,9 +52,19 @@ def _round_up(x: int, m: int) -> int:
 # 256x256 = 296 ms vs 256x512 = 515 ms — smaller line blocks make the
 # ragged windows proportionally tighter (the window is cutoff + block span
 # wide) and 128 is the TPU lane width, so the ratio only improves.  DENSE
-# (cutoff=None) calls want the opposite — bench.py measures 256x512 best —
+# (cutoff=None) calls want the opposite — bench.py measures 256x256 best —
 # and pass explicit sizes.  Window tables and kernels MUST agree on these
 # sizes; every default below routes through the two constants.
+#
+# TILE_P (round-4 re-measurement): 256 stays.  512-point tiles looked
+# ~20% faster in a monkeypatch sweep, but that sweep mixed 256-granular
+# window tables with 512 kernels (def-time vs call-time constant binding)
+# — i.e. it measured a BROKEN config.  With windows and kernel honestly
+# agreeing at 512, the fused scenario is SLOWER (fwd 157 vs 132 ms, limb
+# scan 65 vs 55 ms): coarser tiles widen every ragged window by the tile
+# span, and that loss beats the fewer-grid-passes win.  1024 additionally
+# exhausts the 16 MB scoped VMEM under the 66-row fused-Jacobian
+# accumulator.
 DEFAULT_TILE_P = 256
 DEFAULT_BLOCK_L = 128
 
