@@ -31,6 +31,15 @@ def _triangle(dx: np.ndarray, fwhm: float) -> np.ndarray:
     return np.maximum(1.0 - np.abs(dx) / fwhm, 0.0)
 
 
+def _sinc(dx: np.ndarray, fwhm: float) -> np.ndarray:
+    # Unapodised (boxcar-interferogram) FTS response sin(pi a x)/(pi a x):
+    # carries the negative side lobes real unapodised spectra have.  FWHM
+    # matching: np.sinc(a x) falls to 1/2 at a|x| ~ 0.6034, so
+    # a = 1.2067 / fwhm.
+    a = 1.2067 / fwhm
+    return np.sinc(a * dx)
+
+
 def _sinc2(dx: np.ndarray, fwhm: float) -> np.ndarray:
     # FTS-style apodised response; first zero at ~1.0034*fwhm/... use sinc^2
     # with FWHM matching: sinc^2 has FWHM ~ 0.8859 * (1/a) for sinc(a x).
@@ -38,7 +47,8 @@ def _sinc2(dx: np.ndarray, fwhm: float) -> np.ndarray:
     return np.sinc(a * dx) ** 2
 
 
-_SHAPES: dict = {"gaussian": _gaussian, "triangle": _triangle, "sinc2": _sinc2}
+_SHAPES: dict = {"gaussian": _gaussian, "triangle": _triangle,
+                 "sinc": _sinc, "sinc2": _sinc2}
 
 
 def ils_matrix(

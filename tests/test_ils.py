@@ -7,7 +7,7 @@ import pytest
 from spectrobot_tpu.ops.ils import apply_ils, ils_matrix
 
 
-@pytest.mark.parametrize("shape", ["gaussian", "triangle", "sinc2"])
+@pytest.mark.parametrize("shape", ["gaussian", "triangle", "sinc", "sinc2"])
 def test_flat_spectrum_stays_flat(shape):
     nu = np.linspace(600.0, 700.0, 5001)
     chans = np.linspace(610.0, 690.0, 41)
@@ -92,3 +92,19 @@ def test_fov_in_forward_builder():
     ys = y.reshape(2, 150)
     assert np.all(ys <= yf.max(axis=0) + 1e-12)
     assert np.all(ys >= yf.min(axis=0) - 1e-12)
+
+
+def test_sinc_ils_fwhm_and_lobes():
+    """The unapodised FTS sinc ILS: correct FWHM calibration and REAL
+    negative side lobes (what distinguishes it from sinc^2)."""
+    import numpy as np
+    from spectrobot_tpu.ops.ils import _sinc
+
+    fwhm = 0.5
+    dx = np.linspace(-3.0, 3.0, 4001)
+    r = _sinc(dx, fwhm)
+    assert abs(r[2000] - 1.0) < 1e-12
+    # Half-maximum crossing at +-fwhm/2.
+    half = dx[2000:][np.argmin(np.abs(r[2000:] - 0.5))]
+    assert abs(half - fwhm / 2) < 0.01
+    assert r.min() < -0.05          # negative first side lobe
