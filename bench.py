@@ -67,8 +67,8 @@ BASELINE_FUSED_S = 1.62
 # but gating against them would let a ~2x device-time regression pass
 # (round-3 ADVICE item 1): a chained-dispatch measurement must be gated
 # against a chained-dispatch baseline.
-GATE_LIMB_SCAN_S = 0.50  # round-4 pallas-engine 0.370 s + ~35% margin
-GATE_FUSED_S = 0.80
+GATE_LIMB_SCAN_S = 0.30  # round-4 gather-free RT 0.197 s + ~50% margin
+GATE_FUSED_S = 0.60  # round-4 gather-free RT 0.450 s + ~33% margin
 # Regression FLOOR for the kernel gate (VERDICT r3 weak item 7): the 1e9
 # target alone would let a 10-40x kernel regression pass silently; half
 # the round-3 measurement actually guards the achieved level.

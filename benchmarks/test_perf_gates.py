@@ -13,12 +13,12 @@ Asserted thresholds (BASELINE.md + VERDICT.md rounds 1-3):
     10-40x regression pass silently (VERDICT r3 weak item 7);
   * README limb-scan scenario (20 tangent heights, 8192 pts, 32 layers,
     ILS): forward + full 32-column analytic Jacobian device time <=
-    bench.GATE_LIMB_SCAN_S (0.50 s = round-4 pallas-engine 0.370 s +
-    margin — re-baselined per round-3 ADVICE: the old 0.80 s host-loop
-    constant would have passed a ~2x device-time regression);
+    bench.GATE_LIMB_SCAN_S (0.30 s = round-4 measured 0.197 s + margin;
+    the round-4 engine policy and gather-free RT epilogue cut this metric
+    0.509 -> 0.197 s);
   * fused-basis Pallas scenario (2048 lines, same scene): forward + full
-    32-column Jacobian device time <= bench.GATE_FUSED_S (0.80 s =
-    round-3 0.627 s + margin), and Jacobian <= 8x one forward.  The ratio
+    32-column Jacobian device time <= bench.GATE_FUSED_S (0.60 s =
+    round-4 measured 0.450 s + margin), and Jacobian <= 8x one forward.  The ratio
     bound is a SANITY check on the fused path, not a target: a broken
     fusion (per-column basis re-evaluation) costs ~32x one forward; the
     measured ratio moves whenever the forward alone gets faster (round 3:
@@ -56,7 +56,7 @@ def test_limb_scan_wall_clock_gate():
     t_fwd, t_jac = bench_limb_scan(on_tpu=True)
     assert t_fwd + t_jac <= GATE_LIMB_SCAN_S, (
         f"limb-scan forward+Jacobian {t_fwd + t_jac:.2f} s regressed past "
-        f"the {GATE_LIMB_SCAN_S} s device-time gate (round-4 pallas engine: 0.370 s)")
+        f"the {GATE_LIMB_SCAN_S} s device-time gate (round-4: 0.197 s)")
 
 
 def test_fused_pallas_jacobian_gate():
@@ -70,7 +70,7 @@ def test_fused_pallas_jacobian_gate():
           f"jac {t_jac * 1e3:.0f} ms ({t_jac / t_fwd:.2f}x)", file=sys.stderr)
     assert t_fwd + t_jac <= GATE_FUSED_S, (
         f"fused forward+Jacobian {t_fwd + t_jac:.2f} s regressed past the "
-        f"{GATE_FUSED_S} s device-time gate (round-3: 0.627 s)")
+        f"{GATE_FUSED_S} s device-time gate (round-4: 0.450 s)")
     assert t_jac <= 8.0 * t_fwd, (
         f"fused Jacobian {t_jac * 1e3:.0f} ms > 8x forward "
         f"({t_fwd * 1e3:.0f} ms) — fusion broken? (naive ~32x)")

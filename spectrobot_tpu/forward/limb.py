@@ -317,11 +317,13 @@ def path_radiance(
     cg: PathCG,
     I_background: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Gather layer optics onto the observer-first segment order and
-    integrate: returns radiance [R, P]."""
-    dtau_seg = optics.dtau[:, cg.seg_layer, :]     # [R, n_seg, P]
-    src_seg = optics.source[:, cg.seg_layer, :]
-    return radiance_along_ray(dtau_seg, src_seg, I_background)
+    """Integrate layer optics in the observer-first segment order:
+    returns radiance [R, P].  Uses the gather-free one-hot formulation
+    (forward.rt.layer_path_radiance) — the middle-axis segment gather
+    lowered to sequential per-segment loops on TPU (round-4 profile)."""
+    from spectrobot_tpu.forward.rt import layer_path_radiance
+    return layer_path_radiance(optics.dtau, optics.source, cg.seg_layer,
+                               I_background)
 
 
 def limb_radiance(
@@ -373,7 +375,6 @@ def nadir_radiance(
 def downwelling_radiance(optics: LayerOptics, cg: PathCG) -> jnp.ndarray:
     """Sky radiance arriving at the surface [R, P]: the same layer optics
     integrated surface-first (reversed segment order), deep space behind."""
-    rev = cg.seg_layer[::-1]
-    dtau_seg = optics.dtau[:, rev, :]
-    src_seg = optics.source[:, rev, :]
-    return radiance_along_ray(dtau_seg, src_seg, None)
+    from spectrobot_tpu.forward.rt import layer_path_radiance
+    return layer_path_radiance(optics.dtau, optics.source,
+                               cg.seg_layer[::-1], None)

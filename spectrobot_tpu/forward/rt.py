@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -37,10 +38,73 @@ def radiance_along_ray(
 
     Returns: [..., P] radiance at the observer.
     """
-    c = jnp.cumsum(dtau, axis=-2)
+    # Inclusive cumulative depth as ONE lower-triangular matmul over the
+    # (short) segment axis.  jnp.cumsum here lowers on TPU to a sequential
+    # while loop of per-segment dynamic-update-slices over the full
+    # [..., P] slab; under a 32-column Jacobian those loops dominated the
+    # round-4 profile (~270 ms of a 495 ms fused Jacobian vs 241 ms for
+    # the opacity kernel itself).  The tril contraction is a single
+    # MXU-shaped op XLA parallelises freely; precision pinned because bf16
+    # matmuls corrupt radiances at the 0.4% level (README round-1 note).
+    n_seg = dtau.shape[-2]
+    tril = jnp.tril(jnp.ones((n_seg, n_seg), dtau.dtype))
+    c = jnp.einsum("st,...tp->...sp", tril, dtau,
+                   precision=jax.lax.Precision.HIGHEST)
     t_after = jnp.exp(-c)
-    t_before = jnp.exp(-(c - dtau))
+    # Transmittance BEFORE segment k is t_after of segment k-1 (and 1 at
+    # the observer) — a shift, not a second big exp.
+    t_before = jnp.concatenate(
+        [jnp.ones_like(t_after[..., :1, :]), t_after[..., :-1, :]], axis=-2)
     emitted = jnp.sum(source * (t_before - t_after), axis=-2)
+    if I_background is not None:
+        emitted = emitted + I_background * t_after[..., -1, :]
+    return emitted
+
+
+def layer_path_radiance(
+    dtau_layers: jnp.ndarray,
+    source_layers: jnp.ndarray,
+    seg_layer: jnp.ndarray,
+    I_background: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Radiance for per-LAYER optics traversed in ``seg_layer`` order —
+    WITHOUT materialising gathered [..., n_seg, P] arrays.
+
+    The naive ``dtau[:, seg_layer, :]`` gather on a middle axis lowers on
+    TPU to a sequential while loop of per-segment dynamic-slices over the
+    full [..., P] slab (round-4 profile: ~120 ms/rep of a 32-column limb
+    Jacobian).  Formulated as one-hot matmuls everything runs on the MXU:
+
+        onehot[s, l] = [seg_layer[s] == l]
+        c    = (tril @ onehot) @ dtau_layers      cumulative depth/segment
+        w    = t_before - t_after                  emission weight/segment
+        wlay = onehot^T @ w                        weights scattered to layers
+        I    = sum_l source_layers[l] * wlay[l] (+ background term)
+
+    Identical math to gather -> :func:`radiance_along_ray` (each layer's
+    source multiplies the summed weights of its segments).
+
+    Args:
+      dtau_layers:   [..., NL, P] one-crossing optical depth per LAYER.
+      source_layers: [..., NL, P] source radiance per LAYER.
+      seg_layer: [n_seg] int layer index per traversal segment
+        (observer-first).
+      I_background: [..., P] radiance entering the far end.
+    """
+    NL = dtau_layers.shape[-2]
+    n_seg = seg_layer.shape[0]
+    dt = dtau_layers.dtype
+    onehot = jax.nn.one_hot(seg_layer, NL, dtype=dt)          # [n_seg, NL]
+    tril = jnp.tril(jnp.ones((n_seg, n_seg), dt))
+    hp = dict(precision=jax.lax.Precision.HIGHEST)
+    G = jnp.einsum("st,tl->sl", tril, onehot, **hp)           # counts<=s
+    c = jnp.einsum("sl,...lp->...sp", G, dtau_layers, **hp)
+    t_after = jnp.exp(-c)
+    t_before = jnp.concatenate(
+        [jnp.ones_like(t_after[..., :1, :]), t_after[..., :-1, :]], axis=-2)
+    w_layer = jnp.einsum("sl,...sp->...lp", onehot,
+                         t_before - t_after, **hp)
+    emitted = jnp.sum(source_layers * w_layer, axis=-2)
     if I_background is not None:
         emitted = emitted + I_background * t_after[..., -1, :]
     return emitted
