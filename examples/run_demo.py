@@ -52,6 +52,20 @@ print(f"forward radiances: {I.shape}, peak {float(I.max()):.3e} W/m2/sr/cm-1")
 plot_radiances(os.path.join(OUT, "limb_radiances.png"), nu_host,
                np.asarray(I), labels=[f"{h/1e3:.0f} km" for h in np.asarray(h_t)])
 
+# --- the Spectrum family (the reference's SpectralObject currency) ---------
+# Wrap the raw array once; units, conversions, band integrals, persistence
+# and ILS convolution ride along (spectrobot_tpu/spectra.py).
+from spectrobot_tpu.spectra import radiance as radiance_spectrum
+
+sp = radiance_spectrum(nu_host, np.asarray(I))
+tb = sp.brightness_temperature()
+band = np.asarray(sp.integrate())
+print(f"Spectrum: {sp} [{sp.units}]; lowest-ray T_B peak "
+      f"{float(np.asarray(tb.values)[0].max()):.1f} K; band radiance "
+      f"{band[0]:.3e} W/m2/sr")
+sp.save_npz(os.path.join(OUT, "limb_spectrum.npz"),
+            tangent_heights_km=np.asarray(h_t) / 1e3)
+
 # --- closed-loop retrieval -------------------------------------------------
 W = jnp.asarray(ils_matrix(nu_host, np.linspace(657, 678, 64), 0.5), dtype)
 fwd = build_forward(atm, lines, nu, ["CO2"], MARS, tangent_heights_m=h_t,
