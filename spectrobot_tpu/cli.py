@@ -280,6 +280,14 @@ def cmd_forward(cfg) -> dict:
     # Mesh path (C20-C23).
     use_mesh, mesh_shape = _mesh_plan(cfg)
     m_ray, m_line, m_nu = mesh_shape
+    if cfg.run.save_optics and (use_mesh or cfg.compute.use_lut):
+        # The optics tap rides the single-device line-by-line branch (it
+        # reuses that branch's raw depths); refuse loudly rather than
+        # silently skipping the requested output.
+        raise ValueError(
+            "run.save_optics currently requires the single-device "
+            "line-by-line forward — disable compute.mesh_* and "
+            "compute.use_lut, or drop run.save_optics")
     t0 = time.time()
     if use_mesh and cfg.compute.use_lut:
         # LUT x mesh (parallel/sharded_lut.py): tables shard over 'nu',

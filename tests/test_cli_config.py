@@ -793,3 +793,13 @@ def test_cli_forward_save_optics(tmp_path, capsys):
     with np.load(f"{tmp_path}/o1/forward.npz") as z1, \
             np.load(f"{tmp_path}/o2/forward.npz") as z2:
         np.testing.assert_array_equal(z1["radiance"], z2["radiance"])
+
+
+def test_cli_save_optics_mesh_rejected(tmp_path):
+    """save_optics on an unsupported branch must refuse loudly, not skip."""
+    from spectrobot_tpu.cli import main
+    c = tmp_path / "so.toml"
+    c.write_text(_TINY + f"[run]\noutput_dir = \"{tmp_path}/so\"\n"
+                 "save_optics = true\n")
+    with pytest.raises(ValueError, match="save_optics"):
+        main(["forward", str(c), "-o", "compute.mesh_nu=8"])
