@@ -747,11 +747,19 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
 
 def cmd_info() -> dict:
     import jax
+    from spectrobot_tpu.config import Config
+    from spectrobot_tpu.data import hitran_native
+    from spectrobot_tpu.data.molparams import MOLECULES
     devs = jax.devices()
     info = {
         "version": __import__("spectrobot_tpu").__version__,
         "jax": jax.__version__,
         "devices": [f"{d.device_kind} ({d.platform})" for d in devs],
+        "default_engine": _engine(Config(), 0),
+        "native_parser_built": hitran_native.available(),
+        "molecules_registered": len(MOLECULES),
+        "isotopologues_registered": sum(len(m.isotopologues)
+                                        for m in MOLECULES.values()),
     }
     return info
 
