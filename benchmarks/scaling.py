@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--lines", type=int, default=2000)
     ap.add_argument("--rays", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--halo", action="store_true",
+                    help="use the production nu-halo tier (owner-shard "
+                         "lines + ring ppermute) instead of the line psum")
     ap.add_argument("--json-out", default=None,
                     help="also write all records to this JSON file "
                          "(tracked artifact: benchmarks/SCALING.json)")
@@ -128,9 +131,20 @@ def main() -> None:
         nu_host = np.linspace(600.0, 740.0, P)
         nu = jnp.asarray(nu_host, dtype)
         mesh = make_mesh((1, 1, n), devices[:n])
-        f = sharded_radiance_fn(mesh, has_nlte=False, has_background=False,
-                                chunk=256)
-        nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dl, cg)
+        if args.halo:
+            # Production nu-halo tier (owner-shard lines + ring ppermute);
+            # cutoff must fit the shard width: 140/n cm^-1 chunks.
+            from spectrobot_tpu.parallel.sharded import partition_lines_by_nu
+            cutoff = min(10.0, 0.9 * 140.0 / n)
+            dlp = partition_lines_by_nu(dl, nu_host, n, cutoff_cm1=cutoff)
+            f = sharded_radiance_fn(mesh, has_nlte=False,
+                                    has_background=False, chunk=256,
+                                    cutoff_cm1=cutoff, nu_halo=True)
+            nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dlp, cg)
+        else:
+            f = sharded_radiance_fn(mesh, has_nlte=False,
+                                    has_background=False, chunk=256)
+            nu_s, lines_s, cg_s, _, _ = stage_sharded(mesh, nu, dl, cg)
         out = f(nu_s, lines_s, cg_s)
         out.block_until_ready()
         t0 = time.time()
@@ -144,6 +158,7 @@ def main() -> None:
         eff = rate / (base_rate * n)
         rec = {
             "n_devices": n, "grid_points": P,
+            "halo": bool(args.halo),
             "wall_s": round(dt, 4),
             "grid_points_per_s": rate,
             "efficiency_vs_1dev": round(eff, 4),
