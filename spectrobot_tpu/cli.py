@@ -706,14 +706,25 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
         logger=logger, checkpointer=Checkpointer(ck_dir),
         normal_eqs=normal_eqs, state_check=state_check)
 
+    # Fitted spectrum at the solution (one extra forward) — what the
+    # reference's users compare against the observations first.
+    y_fit = np.asarray(fwd_flat(jnp.asarray(res.x, x0.dtype)))
     out_path = os.path.join(cfg.run.output_dir, "retrieval.npz")
     np.savez(out_path, x=res.x, S_hat=res.S_hat, A_kernel=res.A_kernel,
              chi2=res.chi2, n_iter=res.n_iter, converged=res.converged,
-             stop_reason=np.asarray(res.stop_reason))
+             stop_reason=np.asarray(res.stop_reason),
+             y_fit=y_fit.reshape(-1, n_chan),
+             y_obs=np.asarray(y_obs).reshape(-1, n_chan),
+             noise=np.asarray(noise_flat).reshape(-1, n_chan),
+             channels_cm1=np.asarray(chans))
     try:
         from spectrobot_tpu.utils.plots import (
-            plot_averaging_kernels, plot_retrieval,
+            plot_averaging_kernels, plot_fit, plot_retrieval,
         )
+        plot_fit(os.path.join(cfg.run.output_dir, "fit.png"),
+                 np.asarray(chans), np.asarray(y_obs).reshape(-1, n_chan),
+                 y_fit.reshape(-1, n_chan),
+                 np.asarray(noise_flat).reshape(-1, n_chan))
         z_m = np.asarray(atm.z)
         if ret_T:
             sig = np.sqrt(np.maximum(np.diag(res.S_hat)[:n_lev], 0.0))

@@ -81,3 +81,39 @@ def plot_averaging_kernels(path: str, z_m: np.ndarray,
     fig.savefig(path, dpi=130)
     plt.close(fig)
     return path
+
+
+def plot_fit(path: str, chans: np.ndarray, y_obs: np.ndarray,
+             y_fit: np.ndarray, noise: Optional[np.ndarray] = None) -> str:
+    """Observed vs fitted spectra per ray + normalised residuals.
+
+    y_obs/y_fit: [n_ray, n_chan]; ``noise`` masks windowed-out channels
+    (non-finite or huge noise => excluded from the residual panel).
+    """
+    plt = _plt()
+    fig, (ax, axr) = plt.subplots(
+        2, 1, figsize=(9, 6), sharex=True,
+        gridspec_kw={"height_ratios": [3, 1]})
+    R = y_obs.shape[0]
+    for r in range(R):
+        ax.plot(chans, y_obs[r], ".", ms=2.5, color=f"C{r % 10}", alpha=0.6)
+        ax.plot(chans, y_fit[r], lw=0.9, color=f"C{r % 10}",
+                label=f"ray {r}" if R <= 12 else None)
+    ax.set_ylabel("radiance [W m$^{-2}$ sr$^{-1}$ (cm$^{-1}$)$^{-1}$]")
+    ax.set_title("observed (dots) vs fitted (lines)")
+    if R <= 12:
+        ax.legend(fontsize=7)
+    for r in range(R):
+        resid = y_obs[r] - y_fit[r]
+        if noise is not None:
+            n_r = noise[r]
+            ok = np.isfinite(n_r) & (n_r < 1e30)
+            resid = np.where(ok, resid / np.where(ok, n_r, 1.0), np.nan)
+        axr.plot(chans, resid, lw=0.7, color=f"C{r % 10}")
+    axr.axhline(0.0, color="k", lw=0.5)
+    axr.set_xlabel("wavenumber [cm$^{-1}$]")
+    axr.set_ylabel(r"resid / $\sigma$" if noise is not None else "resid")
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    return path

@@ -803,3 +803,22 @@ def test_cli_save_optics_mesh_rejected(tmp_path):
                  "save_optics = true\n")
     with pytest.raises(ValueError, match="save_optics"):
         main(["forward", str(c), "-o", "compute.mesh_nu=8"])
+
+
+def test_cli_retrieve_outputs_fitted_spectrum(tmp_path, capsys):
+    """retrieval.npz carries the fitted spectrum vs the observations (the
+    first thing a reference user inspects), and the converged fit sits at
+    the noise level; fit.png is rendered."""
+    from spectrobot_tpu.cli import main
+    c = tmp_path / "fit.toml"
+    c.write_text(_TINY + f"[run]\noutput_dir = \"{tmp_path}/fit\"\n")
+    assert main(["retrieve", str(c)]) == 0
+    capsys.readouterr()
+    with np.load(f"{tmp_path}/fit/retrieval.npz") as z:
+        y_fit, y_obs, noise = z["y_fit"], z["y_obs"], z["noise"]
+        chans = z["channels_cm1"]
+    assert y_fit.shape == y_obs.shape == (2, 40)
+    assert chans.shape == (40,)
+    resid = (y_obs - y_fit) / noise
+    assert np.sqrt(np.mean(resid ** 2)) < 2.0      # at the noise floor
+    assert os.path.exists(f"{tmp_path}/fit/fit.png")
