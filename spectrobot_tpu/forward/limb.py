@@ -36,6 +36,14 @@ class LayerOptics(NamedTuple):
     source: jnp.ndarray   # [R, NL, P] source-function radiance
 
 
+def _clamp_chunk(chunk: int, n_states: int, n_points: int,
+                 budget_bytes: float = 5.0e8) -> int:
+    """Bound the XLA engine's per-scan-step (n_states, chunk, n_points)
+    f32 Voigt slab to ``budget_bytes`` (floor 8 lines)."""
+    max_chunk = max(8, int(budget_bytes // max(n_states * n_points * 4, 1)))
+    return min(chunk, max_chunk)
+
+
 def layer_tau(
     nu_grid: jnp.ndarray,
     lines: DeviceLines,
@@ -73,6 +81,15 @@ def layer_tau(
     lay_ids = jnp.arange(NL, dtype=jnp.int32)
     if nu_off is None:
         nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
+    if engine != "pallas":
+        # The XLA engine's line-chunk scan materialises a (R*NL, chunk, P)
+        # Voigt slab per step under this function's vmap-of-vmap (x4 slabs
+        # under the tangent basis); clamp the chunk so that stays bounded —
+        # a 20-ray x 39-layer x 16k-point forward at chunk=128 exceeded
+        # v5e HBM and FAULTED the device (round-4 measurement).  No-op for
+        # ordinary scenes; the kernel engine streams blocks through VMEM
+        # and needs no clamp.
+        chunk = _clamp_chunk(chunk, R * NL, int(nu_off.shape[-1]))
     # Pallas engine: when the grid and line centers are CONCRETE at trace
     # time (closure constants of a jitted forward — the build_forward
     # case), bake real ragged block windows in as static tables so the

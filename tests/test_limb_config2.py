@@ -84,3 +84,19 @@ def test_config2_twenty_tangent_heights():
     means = I[:, core].mean(axis=1)
     assert means[0] > 10 * means[-1]
     assert np.all(np.diff(means[5:]) < 0)
+
+
+def test_xla_engine_chunk_clamp():
+    """The memory clamp that keeps the XLA engine's vmapped Voigt slab
+    bounded (a 780-state x 16k-point scene at chunk=128 faulted a v5e in
+    round 4); no-op for ordinary scenes."""
+    from spectrobot_tpu.forward.limb import _clamp_chunk
+
+    # Ordinary test scene: untouched.
+    assert _clamp_chunk(256, 2 * 6, 256) == 256
+    # The faulting scene: 20 rays x 39 layers x 16384 points.
+    c = _clamp_chunk(128, 20 * 39, 16384)
+    assert 8 <= c < 128
+    assert 780 * c * 16384 * 4 <= 5.0e8 or c == 8
+    # Floor engages for absurd sizes.
+    assert _clamp_chunk(128, 10_000, 1_000_000) == 8
