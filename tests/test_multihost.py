@@ -28,3 +28,28 @@ def test_two_process_global_reduction():
     for i, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{o[-2000:]}"
     assert "MULTIHOST_OK" in outs[0], outs[0][-2000:]
+
+
+def test_two_process_production_forward():
+    """The REAL sharded forward (nu-halo tier) across two processes: ring
+    ppermutes cross the process boundary (Gloo standing in for DCN) and
+    the gathered radiances match the single-device reference on every
+    process (round 4 — upgrades C20 evidence from a bare reduction to the
+    production code path)."""
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": repo + ":" + os.environ.get("PYTHONPATH", "")}
+    procs = [subprocess.Popen(
+        [sys.executable,
+         os.path.join(repo, "tests", "multihost", "worker_forward.py"),
+         str(port), str(i), "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=repo, env=env) for i in range(2)]
+    outs = [p.communicate(timeout=500)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
+    assert "MULTIHOST_FORWARD_OK" in outs[0], outs[0][-3000:]
