@@ -67,11 +67,17 @@ class ShardedOE:
 
     def bind_observation(self, y, noise_sigma) -> None:
         """Fix (y, S_eps^-1) so ``normal_eqs`` matches the retrieve() hook
-        signature x -> (F, H, g)."""
-        dt = jnp.result_type(jnp.float32) if jnp.asarray(y).dtype not in (
-            jnp.float32, jnp.float64) else jnp.asarray(y).dtype
-        self._y = jnp.asarray(y, dt)
-        self._inv_se = jnp.asarray(
+        signature x -> (F, H, g).
+
+        Stored as HOST numpy (identical on every process): host values
+        passed as jit arguments are auto-replicated onto the mesh, which
+        keeps this correct in true multi-controller runs — a committed
+        single-device jnp array would not span a multi-process mesh.
+        """
+        dt = (np.float64 if np.asarray(y).dtype == np.float64
+              else np.float32)
+        self._y = np.asarray(y, dt)
+        self._inv_se = np.asarray(
             1.0 / np.asarray(noise_sigma, np.float64) ** 2, dt)
 
     def normal_eqs(self, x):
@@ -199,7 +205,25 @@ def make_sharded_oe(
         nu_s, lines_s, _, nlte_s, _ = staged[:5]
         cia_s = staged[5] if cia is not None else None
 
-    def model(x):
+    # Staged mesh inputs are passed to the jitted callables as ARGUMENTS
+    # (bound at the python level per call, below), NOT closed over: a
+    # closure constant that spans a multi-process mesh is rejected by jax
+    # ("closing over non-addressable jax.Array"), so argument-passing is
+    # what keeps this module correct under true multi-controller runs
+    # (tests/multihost/worker_oe.py).  Outputs are constrained to the
+    # REPLICATED layout so the host-side float64 LM loop can read them on
+    # every process.
+    if lut is not None:
+        staged_args = (lut_s, nlte_s, cia_s)
+    else:
+        staged_args = (nu_s, lines_s, nlte_s, cia_s)
+
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+    _replicate = lambda t: jax.tree_util.tree_map(
+        lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, _P())), t)
+
+    def model(x, *staged):
         state = unravel(x)
         atm = apply_state(base_atm, state)
         if is_limb:
@@ -212,10 +236,12 @@ def make_sharded_oe(
             ts = state.get("T_surface", T_surface)
             bg = emissivity * planck_nu(nu_grid, ts)
         if lut is not None:
-            I = fwd_lut(lut_s, cg, nlte_s, I_bg=bg, cia=cia_s)  # [R, P]
+            lut_a, nlte_a, cia_a = staged
+            I = fwd_lut(lut_a, cg, nlte_a, I_bg=bg, cia=cia_a)  # [R, P]
         else:
-            I = fwd_sharded(nu_s, lines_s, cg, nlte_s, I_bg=bg,
-                            nu_off=nu_off, cia=cia_s)  # [R, P]
+            nu_a, lines_a, nlte_a, cia_a = staged
+            I = fwd_sharded(nu_a, lines_a, cg, nlte_a, I_bg=bg,
+                            nu_off=nu_off, cia=cia_a)  # [R, P]
         if fov_V is not None:
             from spectrobot_tpu.ops.ils import apply_fov
             I = apply_fov(I, fov_V)
@@ -233,7 +259,7 @@ def make_sharded_oe(
     ne_fn = sharded_normal_equations(mesh, axes=row_axes)
     gather_fn = allgather_jacobian(mesh, axes=row_axes)
 
-    def jac_columns(x):
+    def jac_columns(x, staged):
         """K [n_y, n_x]: vmap the n_x unit tangents through ONE jvp of the
         sharded forward.  Primal-only computations stay unbatched under the
         tangent vmap, so the analytic custom-JVP Voigt basis is evaluated
@@ -244,22 +270,32 @@ def make_sharded_oe(
         economics now running THROUGH the mesh (VERDICT.md round-2 item 1;
         vmap-over-shard_map batches the body, supported since JAX 0.9)."""
         eye = jnp.eye(n_x, dtype=x.dtype)
-        F, KT = jax.vmap(lambda v: jax.jvp(model, (x,), (v,)),
+        F, KT = jax.vmap(lambda v: jax.jvp(lambda xx: model(xx, *staged),
+                                           (x,), (v,)),
                          out_axes=(None, 0))(eye)
         return F, KT.T
 
-    def _normal_eqs(x, y, inv_se):
-        F, K = jac_columns(x)
+    def _forward(x, *staged):
+        return _replicate(model(x, *staged))
+
+    def _normal_eqs(x, y, inv_se, *staged):
+        F, K = jac_columns(x, staged)
         H, g = ne_fn(K, y - F, inv_se)
-        return F, H, g
+        return _replicate((F, H, g))
 
-    def _jacobian(x):
-        _, K = jac_columns(x)
-        return gather_fn(K)
+    def _jacobian(x, *staged):
+        _, K = jac_columns(x, staged)
+        return _replicate(gather_fn(K))
 
+    fwd_jit = jax.jit(_forward)
+    ne_jit = jax.jit(_normal_eqs)
+    jac_jit = jax.jit(_jacobian)
+    # Host-level binding (np.asarray keeps x a host value, auto-replicated
+    # onto the mesh as a jit argument in multi-controller runs).
     oe = ShardedOE(
-        forward_flat=jax.jit(model),
-        normal_eqs=jax.jit(_normal_eqs),
-        jacobian=jax.jit(_jacobian),
+        forward_flat=lambda x: fwd_jit(np.asarray(x), *staged_args),
+        normal_eqs=lambda x, y, se: ne_jit(np.asarray(x), y, se,
+                                           *staged_args),
+        jacobian=lambda x: jac_jit(np.asarray(x), *staged_args),
         n_x=n_x, mesh=mesh, row_axes=row_axes)
     return oe
