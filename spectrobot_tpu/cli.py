@@ -397,17 +397,14 @@ def cmd_forward(cfg) -> dict:
         # depths for per-ray LOS optical-depth/transmittance output at no
         # extra line-sum cost (the reference's SpectralObject family).
         from spectrobot_tpu.forward.limb import (
-            layer_tau, layer_tau_pallas, tau_radiance_epilogue)
+            layer_tau, layer_tau_pallas, radiance_from_tau)
         if is_limb:
             cg = limb_path_cg(atm, species_names, h_t, planet,
                               cfg.geometry.n_sub)
-            I_bg = None
+            t_surf = None
         else:
-            from spectrobot_tpu.ops.planck import planck_nu
             cg = nadir_path_cg(atm, species_names, sec, cfg.geometry.n_sub)
-            I_bg = jnp.broadcast_to(
-                emis * planck_nu(nu, cfg.geometry.t_surface).astype(nu.dtype),
-                (int(sec.shape[0]), nu.shape[0]))
+            t_surf = cfg.geometry.t_surface
         if use_pallas:
             dtau, dtau_em = layer_tau_pallas(
                 nu, dl, cg, nlte, cutoff_cm1=cfg.compute.cutoff_cm1,
@@ -417,9 +414,12 @@ def cmd_forward(cfg) -> dict:
                 nu, dl, cg, nlte, variant=cfg.compute.variant,
                 cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
                 nu_off=nu_off))()
-        I = jax.jit(lambda d, de: tau_radiance_epilogue(
-            nu.astype(d.dtype), cg, d, de, cia=cia, I_background=I_bg,
-            is_limb=is_limb, emissivity=emis))(dtau, dtau_em)
+        # radiance_from_tau owns the limb/nadir + grey-surface dispatch —
+        # the same shared tail the LUT branch uses (round-4 review: one
+        # place for the surface convention, not two).
+        I = jax.jit(lambda d, de: radiance_from_tau(
+            nu.astype(d.dtype), cg, d, de, cia=cia, T_surface=t_surf,
+            emissivity=emis))(dtau, dtau_em)
         if cfg.run.save_optics:
             from spectrobot_tpu.ops.cia import cia_dtau
             from spectrobot_tpu.spectra import optical_depth as _tau_spectrum

@@ -263,16 +263,16 @@ def parse_par_text(text: str, use_native: str = "auto") -> LineList:
     # minimum meaningful record covers through delta_air (67 chars); a
     # shorter non-blank line is a corrupted catalog, not a header (.par
     # files have none), and both parsers would otherwise skip it silently.
-    lines = []
-    for i, ln in enumerate(text.splitlines()):
-        if not ln.strip():
-            continue
-        if len(ln) < 67:
+    # Kept cheap for the native fast path (round-4 review): len() only per
+    # line, strip() only for the rare short line, and no retained list
+    # until the NumPy fallback actually needs one.
+    recs = text.splitlines()
+    for i, ln in enumerate(recs):
+        if len(ln) < 67 and ln.strip():
             raise ValueError(
                 f"malformed .par record at line {i + 1}: {len(ln)} chars "
                 f"(need >= 67 through delta_air; full records are 160) — "
                 f"refusing to silently drop truncated records")
-        lines.append(ln)
     if use_native in ("auto", "always"):
         from spectrobot_tpu.data import hitran_native
         if hitran_native.available():
@@ -282,7 +282,7 @@ def parse_par_text(text: str, use_native: str = "auto") -> LineList:
         if use_native == "always":
             raise RuntimeError("native parser requested but not built "
                                "(run `make -C native`)")
-    return _parse_records(lines)
+    return _parse_records([ln for ln in recs if ln.strip()])
 
 
 def parse_par_file(path: str, use_native: str = "auto") -> LineList:
@@ -319,7 +319,7 @@ def _parse_records(records: List[str]) -> LineList:
     cols: Dict[str, np.ndarray] = {
         "mol_id": mol_id,
         "iso_id": iso_id,
-        "nu0": _parse_float_col(col(4, 15), "nu"),
+        "nu0": _parse_float_col(col(4, 15), "nu0"),
         "sw": _parse_float_col(col(16, 25), "sw"),
         "a_einstein": _parse_float_col(col(26, 35), "a_einstein"),
         "gamma_air": _parse_float_col(col(36, 40), "gamma_air"),

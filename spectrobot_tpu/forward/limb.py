@@ -37,10 +37,12 @@ class LayerOptics(NamedTuple):
 
 
 def _clamp_chunk(chunk: int, n_states: int, n_points: int,
-                 budget_bytes: float = 5.0e8) -> int:
+                 itemsize: int = 4, budget_bytes: float = 5.0e8) -> int:
     """Bound the XLA engine's per-scan-step (n_states, chunk, n_points)
-    f32 Voigt slab to ``budget_bytes`` (floor 8 lines)."""
-    max_chunk = max(8, int(budget_bytes // max(n_states * n_points * 4, 1)))
+    Voigt slab to ``budget_bytes`` (floor 8 lines); ``itemsize`` from the
+    compute dtype (f64 slabs are 2x f32 — round-4 review finding)."""
+    max_chunk = max(8, int(budget_bytes
+                           // max(n_states * n_points * itemsize, 1)))
     return min(chunk, max_chunk)
 
 
@@ -89,7 +91,8 @@ def layer_tau(
         # v5e HBM and FAULTED the device (round-4 measurement).  No-op for
         # ordinary scenes; the kernel engine streams blocks through VMEM
         # and needs no clamp.
-        chunk = _clamp_chunk(chunk, R * NL, int(nu_off.shape[-1]))
+        chunk = _clamp_chunk(chunk, R * NL, int(nu_off.shape[-1]),
+                             itemsize=jnp.dtype(nu_off.dtype).itemsize)
     # Pallas engine: when the grid and line centers are CONCRETE at trace
     # time (closure constants of a jitted forward — the build_forward
     # case), bake real ragged block windows in as static tables so the
