@@ -319,6 +319,109 @@ def bench_kernel(on_tpu: bool) -> float:
     return rate
 
 
+# Per-pair flop counts of the kernel's dispatch tiers, audited from the
+# code (ops/pallas_opacity.py + ops/voigt.py), PRIMAL path, counting one
+# transcendental (exp/sin/cos) as 8 flop-equivalents:
+#   far   (_wr_region1):            ~14   (mul/add/div)
+#   mid   (region1+region2+select): ~55
+#   near3 (w4 regions I-III):      ~165   (3 rational chains + selects)
+#   near4 (full w4 incl cexp):     ~300   (adds P4/Q4 chains + exp,sin,cos)
+# The audit feeds the roofline: achieved GFLOP/s = pairs/s x the
+# tier-MIX-weighted flops/pair, compared against the EMPIRICAL VPU f32
+# FMA peak measured on the same chip in the same process.
+TIER_FLOPS = {"far": 14.0, "mid": 55.0, "near3": 165.0, "near4": 300.0}
+
+
+def _dense_tier_mix(nu_host, nuc_host, sx_min, y_min, tile_p, block_l,
+                    sub_blocks):
+    """Fraction of (tile x dispatch-slice) steps per tier for the DENSE
+    kernel scenario (host-side replication of the kernel's gap bound)."""
+    import numpy as np
+    SBL = block_l // sub_blocks
+    n_tiles = len(nu_host) // tile_p
+    n_sl = len(nuc_host) // SBL
+    t_lo = nu_host.reshape(n_tiles, tile_p).min(1)
+    t_hi = nu_host.reshape(n_tiles, tile_p).max(1)
+    s_lo = nuc_host.reshape(n_sl, SBL).min(1)
+    s_hi = nuc_host.reshape(n_sl, SBL).max(1)
+    gap = np.maximum(
+        np.maximum(s_lo[None, :] - t_hi[:, None],
+                   t_lo[:, None] - s_hi[None, :]), 0.0)
+    s_min = gap * sx_min + y_min
+    mix = {
+        "far": float((s_min >= 15.0).mean()),
+        "mid": float(((s_min >= 5.5) & (s_min < 15.0)).mean()),
+    }
+    near = (s_min < 5.5)
+    if y_min >= 0.9:
+        mix["near3"], mix["near4"] = float(near.mean()), 0.0
+    else:
+        mix["near3"], mix["near4"] = 0.0, float(near.mean())
+    return mix
+
+
+def bench_roofline(on_tpu: bool, kernel_rate: float) -> None:
+    """Hardware-efficiency context for the headline kernel number
+    (VERDICT r4 item 2): an EMPIRICAL VPU f32 FMA peak measured on this
+    chip, the flop-audited achieved GFLOP/s of the dense kernel, and the
+    percentage of peak.  '42x an arbitrary target' is not evidence of
+    speed-of-light; 'X% of the measured VPU peak with a flop audit' is."""
+    from spectrobot_tpu.data.synth import random_lines
+    from spectrobot_tpu.ops.opacity import line_kernel_inputs
+    from spectrobot_tpu.ops.pallas_opacity import DEFAULT_SUB_BLOCKS
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    # 1. Empirical VPU peak: a K-deep fused multiply-add chain on a VMEM/
+    #    vector-register-friendly f32 array (XLA fuses it into one
+    #    elementwise kernel; 2 flops per element per link).
+    N, K = (1 << 23, 64) if on_tpu else (1 << 16, 8)
+    a = jnp.full((N,), 1.0000001, jnp.float32)
+    b = jnp.full((N,), 1e-9, jnp.float32)
+
+    def fma_chain(x):
+        for _ in range(K):
+            x = x * a + b
+        return x
+
+    n_iter, n_rep = (20, 3) if on_tpu else (1, 1)
+    dt = device_time(fma_chain, jnp.ones((N,), jnp.float32), _perturb_flat,
+                     n_iter, n_rep)
+    vpu_peak = 2.0 * K * N / dt
+    print(f"empirical VPU f32 FMA peak: {vpu_peak / 1e9:.0f} GFLOP/s "
+          f"({K}-deep chain on {N} lanes, device time)", file=sys.stderr)
+
+    # 2. Tier mix + weighted flops/pair for the SAME dense scenario
+    #    bench_kernel measured.
+    P, L = (16384, 20480) if on_tpu else (2048, 1024)
+    ll = random_lines(L, 600.0, 740.0, seed=0)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32,
+                                    nu_ref=0.0)
+    kl = line_kernel_inputs(dl, 220.0, 300.0, 100.0)
+    nu = np.linspace(640.0, 700.0, P).astype(np.float32)
+    mix = _dense_tier_mix(nu, np.asarray(kl.nu_c, np.float32),
+                          float(jnp.min(kl.scale_x)), float(jnp.min(kl.y)),
+                          256, 256, DEFAULT_SUB_BLOCKS)
+    flops_per_pair = sum(TIER_FLOPS[t] * f for t, f in mix.items())
+    kernel_gflops = kernel_rate * flops_per_pair / 1e9
+    pct = 100.0 * kernel_gflops * 1e9 / vpu_peak
+    print(f"kernel roofline: {flops_per_pair:.0f} flops/pair "
+          f"(mix far {mix['far']:.2f} mid {mix['mid']:.2f} "
+          f"near3 {mix['near3']:.2f} near4 {mix['near4']:.2f}) -> "
+          f"{kernel_gflops:.0f} GFLOP/s = {pct:.0f}% of the measured VPU "
+          f"peak (excl. MXU reduction + DMA/grid overhead the same pass "
+          f"also pays)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "kernel_roofline_pct_of_vpu_peak",
+        "value": pct,
+        "unit": (f"% of measured VPU f32 FMA peak "
+                 f"({vpu_peak / 1e9:.0f} GFLOP/s); flop audit "
+                 f"{flops_per_pair:.0f}/pair, tier mix "
+                 f"far/mid/near3/near4 = {mix['far']:.2f}/{mix['mid']:.2f}/"
+                 f"{mix['near3']:.2f}/{mix['near4']:.2f}"),
+        "vs_baseline": pct / 100.0,
+    }))
+
+
 def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
@@ -326,6 +429,8 @@ def main() -> None:
     bench_limb_scan(on_tpu)
     bench_fused_pallas(on_tpu)
     bench_sharded_pallas(on_tpu)
+    rate = bench_kernel(on_tpu)
+    bench_roofline(on_tpu, rate)
     bench_kernel(on_tpu)  # headline metric LAST — the driver's primary capture
 
 

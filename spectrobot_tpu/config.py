@@ -40,6 +40,11 @@ class LinesConfig:
     source: str = "synthetic:co2_15um"
     min_sw: Optional[float] = None
     wing_cm1: float = 25.0
+    # Sub-Lorentzian wing correction (ops/chi.py): "" = off (bit-identical),
+    # or a profile name from ops.chi.CHI_PROFILES (e.g. "co2_mars" — the
+    # Perrin & Hartmann 1989 CO2-CO2 first segment).  Applies to the
+    # profile's species only; requires compute.cutoff_cm1 <= 30.
+    chi: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,6 +138,13 @@ class RetrievalConfig:
     sigma_lnvmr: float = 1.0            # prior std [ln]
     obs_path: str = ""                  # Observation .npz/.csv ("" = self-test)
     windows: Tuple = ()                 # ((lo, hi), ...) spectral windows
+    # Coarse retrieval parameter basis (reference bayes-set node grids):
+    # 0 = retrieve at every model level (default); N >= 2 = retrieve T and
+    # ln-VMR on N equally spaced altitude nodes linearly mapped to levels.
+    # node_alt_km overrides with explicit node altitudes (strictly
+    # increasing, in km).
+    n_nodes: int = 0
+    node_alt_km: Tuple = ()
     # Jacobian tangent-batch bound: 0 = auto (plain jacfwd while the tangent
     # batch n_x * n_y fits comfortably, chunked above — the README-measured
     # OOM guard), N > 0 = always chunk to N columns.

@@ -263,26 +263,36 @@ def parse_par_text(text: str, use_native: str = "auto") -> LineList:
     # minimum meaningful record covers through delta_air (67 chars); a
     # shorter non-blank line is a corrupted catalog, not a header (.par
     # files have none), and both parsers would otherwise skip it silently.
-    # Kept cheap for the native fast path (round-4 review): len() only per
-    # line, strip() only for the rare short line, and no retained list
-    # until the NumPy fallback actually needs one.
-    recs = text.splitlines()
-    for i, ln in enumerate(recs):
-        if len(ln) < 67 and ln.strip():
+    # Vectorised (round-4 review): line lengths come from the newline
+    # positions of the ALREADY-NEEDED latin-1 byte buffer — no Python
+    # per-line loop, no splitlines() list on the native fast path.
+    data = text.encode("latin-1")
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 0x0A)
+    starts = np.concatenate(([0], nl + 1))
+    ends = np.concatenate((nl, [len(arr)]))
+    lengths = ends - starts
+    nz = lengths > 0
+    cr = np.zeros(len(lengths), dtype=bool)          # \r\n endings
+    cr[nz] = arr[ends[nz] - 1] == 0x0D
+    lengths = lengths - cr
+    for i in np.flatnonzero(lengths < 67):           # rare: short lines only
+        seg = data[starts[i]:ends[i]]
+        if seg.strip():
             raise ValueError(
-                f"malformed .par record at line {i + 1}: {len(ln)} chars "
+                f"malformed .par record at line {i + 1}: {lengths[i]} chars "
                 f"(need >= 67 through delta_air; full records are 160) — "
                 f"refusing to silently drop truncated records")
     if use_native in ("auto", "always"):
         from spectrobot_tpu.data import hitran_native
         if hitran_native.available():
-            cols = hitran_native.parse_par_bytes(text.encode("latin-1"))
+            cols = hitran_native.parse_par_bytes(data)
             _validate_required(cols)
             return LineList.from_columns(_attach_mass(cols))
         if use_native == "always":
             raise RuntimeError("native parser requested but not built "
                                "(run `make -C native`)")
-    return _parse_records([ln for ln in recs if ln.strip()])
+    return _parse_records([ln for ln in text.splitlines() if ln.strip()])
 
 
 def parse_par_file(path: str, use_native: str = "auto") -> LineList:

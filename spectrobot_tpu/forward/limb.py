@@ -61,8 +61,13 @@ def layer_tau(
     interpret: bool = False,
     windows=None,
     windows_T=None,
+    chi=None,
 ):
     """Raw per-(ray, layer) line sums: (dtau, dtau_em), each [R, NL, P].
+
+    ``chi`` = (ops.chi.ChiProfile, row_mask [n_species]): sub-Lorentzian
+    wing correction for the profile's species (ops/chi.py; None = off,
+    bit-identical).
 
     ``nu_off``: the grid in OFFSET coordinates (nu - lines.nu_ref), staged
     from float64 by the caller for f32-precision dnu; default computes it
@@ -115,18 +120,28 @@ def layer_tau(
     # basis is shared across every Jacobian column (SURVEY.md 8.4 hard part
     # 3); analytic_jvp='rev' swaps in the custom-VJP op (grad/jacrev via the
     # explicit transpose); False falls back to plain-AD accumulation.
+    if chi is not None:
+        from spectrobot_tpu.ops.chi import CHI_MAX_CUTOFF
+        if cutoff_cm1 is None or cutoff_cm1 > CHI_MAX_CUTOFF:
+            raise ValueError(
+                f"the chi wing correction implements the first "
+                f"Perrin-Hartmann segment only (valid to "
+                f"{CHI_MAX_CUTOFF} cm^-1); compute.cutoff_cm1="
+                f"{cutoff_cm1} exceeds it — lower the cutoff or disable "
+                f"lines.chi")
     mode = _ad_mode(analytic_jvp)
     if mode is not None:
         acc_op = make_accumulate_op(chunk=chunk, variant=variant,
                                     cutoff_cm1=cutoff_cm1, engine=engine,
                                     interpret=interpret, mode=mode,
-                                    windows=windows, windows_T=windows_T)
+                                    windows=windows, windows_T=windows_T,
+                                    has_chi=chi is not None)
     else:
         from spectrobot_tpu.ops.opacity import accumulate_jnp
         from spectrobot_tpu.ops.opacity import KernelLines as _KL
 
-        def acc_op(nu, nc, sx, yy, am):
-            return accumulate_jnp(nu, _KL(nc, sx, yy, am), chunk=chunk,
+        def acc_op(nu, nc, sx, yy, am, cb=None):
+            return accumulate_jnp(nu, _KL(nc, sx, yy, am, cb), chunk=chunk,
                                   variant=variant, cutoff_cm1=cutoff_cm1)
 
     def one(u_sp, T_sp, p_sp, ps_sp, T_air, lay_idx):
@@ -137,8 +152,13 @@ def layer_tau(
         u_line_cm2 = u_sp[sp] * 1.0e-4           # [L] molec cm^-2 (one side)
         w_abs, w_em = weights_for_layer(nlte, lines, lay_idx, T_air)
         amps = jnp.stack([w_abs * u_line_cm2, w_em * u_line_cm2])
-        kl = line_kernel_inputs(lines, T_line, p_line, ps_line, amps)
-        out = acc_op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+        kl = line_kernel_inputs(lines, T_line, p_line, ps_line, amps,
+                                chi=chi)
+        if kl.chi_b is None:
+            out = acc_op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+        else:
+            out = acc_op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps,
+                         kl.chi_b)
         return out[0], out[1]                    # dtau, "emission depth"
 
     per_layer = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
@@ -186,10 +206,11 @@ def layer_optics(
 
 
 def _tau_prologue(lines: DeviceLines, cg: PathCG,
-                  nlte: Optional[DeviceNLTE]):
+                  nlte: Optional[DeviceNLTE], chi=None):
     """Vectorised stage-1: CG states -> flat per-(ray*layer) kernel inputs.
 
-    Returns (nu_c, scale_x, y) [B, L] and amps [B, 2, L], B = R*NL.
+    Returns (nu_c, scale_x, y, amps, chi_b): [B, L], amps [B, 2, L],
+    chi_b [B, L] or None, B = R*NL.
     """
     R, NL, S = cg.u.shape
     lay_ids = jnp.arange(NL, dtype=jnp.int32)
@@ -199,19 +220,22 @@ def _tau_prologue(lines: DeviceLines, cg: PathCG,
         u_line_cm2 = u_sp[sp] * 1.0e-4
         w_abs, w_em = weights_for_layer(nlte, lines, lay_idx, T_air)
         amps = jnp.stack([w_abs * u_line_cm2, w_em * u_line_cm2])
-        kl = line_kernel_inputs(lines, T_sp[sp], p_sp[sp], ps_sp[sp], amps)
-        return kl.nu_c, kl.scale_x, kl.y, kl.amps
+        kl = line_kernel_inputs(lines, T_sp[sp], p_sp[sp], ps_sp[sp], amps,
+                                chi=chi)
+        cb = (jnp.zeros_like(kl.y) if kl.chi_b is None else kl.chi_b)
+        return kl.nu_c, kl.scale_x, kl.y, kl.amps, cb
 
     per_layer = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
     per_ray = jax.vmap(per_layer, in_axes=(0, 0, 0, 0, 0, None))
-    nu_c, sx, y, amps = per_ray(cg.u, cg.T_sp, cg.p_sp, cg.p_self_sp,
-                                cg.T_air, lay_ids)
+    nu_c, sx, y, amps, cb = per_ray(cg.u, cg.T_sp, cg.p_sp, cg.p_self_sp,
+                                    cg.T_air, lay_ids)
     L = lines.n_lines
     return (nu_c.reshape(R * NL, L), sx.reshape(R * NL, L),
-            y.reshape(R * NL, L), amps.reshape(R * NL, 2, L))
+            y.reshape(R * NL, L), amps.reshape(R * NL, 2, L),
+            cb.reshape(R * NL, L) if chi is not None else None)
 
 
-_tau_prologue_jit = jax.jit(_tau_prologue)
+_tau_prologue_jit = jax.jit(_tau_prologue, static_argnums=(3,))
 
 
 def layer_tau_pallas(
@@ -225,6 +249,7 @@ def layer_tau_pallas(
     block_l: Optional[int] = None,
     interpret: bool = False,
     nu_off: Optional[jnp.ndarray] = None,
+    chi=None,
 ):
     """Pallas-kernel stage 2 for the whole (ray x layer) batch: ONE
     pallas_call covers every layer of every ray (SURVEY.md M2/M3 production
@@ -238,12 +263,13 @@ def layer_tau_pallas(
     R, NL, S = cg.u.shape
     if nu_off is None:
         nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
-    nu_c, sx, y, amps = _tau_prologue_jit(lines, cg, nlte)
+    nu_c, sx, y, amps, chi_b = _tau_prologue_jit(lines, cg, nlte, chi)
     out = accumulate_pallas_batch(
         nu_off, np.asarray(lines.nu0), nu_c, sx, y, amps,
         tile_p=DEFAULT_TILE_P if tile_p is None else tile_p,
         block_l=DEFAULT_BLOCK_L if block_l is None else block_l,
-        cutoff_cm1=cutoff_cm1, interpret=interpret)       # [B, 2, P]
+        cutoff_cm1=cutoff_cm1, interpret=interpret,
+        chi_b=chi_b)       # [B, 2, P]
     P = nu_grid.shape[0]
     out = out.reshape(R, NL, 2, P)
     return out[:, :, 0, :], out[:, :, 1, :]

@@ -23,6 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _cumulative_depth(dtau: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative optical depth along the segment axis (-2), in
+    the backend-appropriate formulation (see radiance_along_ray notes)."""
+    if not _on_tpu():
+        return jnp.cumsum(dtau, axis=-2)
+    n_seg = dtau.shape[-2]
+    tril = jnp.tril(jnp.ones((n_seg, n_seg), dtau.dtype))
+    return jnp.einsum("st,...tp->...sp", tril, dtau,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def radiance_along_ray(
     dtau: jnp.ndarray,
     source: jnp.ndarray,
@@ -38,18 +53,18 @@ def radiance_along_ray(
 
     Returns: [..., P] radiance at the observer.
     """
-    # Inclusive cumulative depth as ONE lower-triangular matmul over the
-    # (short) segment axis.  jnp.cumsum here lowers on TPU to a sequential
+    # Inclusive cumulative depth.  On TPU: ONE lower-triangular matmul over
+    # the (short) segment axis — jnp.cumsum there lowers to a sequential
     # while loop of per-segment dynamic-update-slices over the full
     # [..., P] slab; under a 32-column Jacobian those loops dominated the
     # round-4 profile (~270 ms of a 495 ms fused Jacobian vs 241 ms for
     # the opacity kernel itself).  The tril contraction is a single
     # MXU-shaped op XLA parallelises freely; precision pinned because bf16
     # matmuls corrupt radiances at the 0.4% level (README round-1 note).
-    n_seg = dtau.shape[-2]
-    tril = jnp.tril(jnp.ones((n_seg, n_seg), dtau.dtype))
-    c = jnp.einsum("st,...tp->...sp", tril, dtau,
-                   precision=jax.lax.Precision.HIGHEST)
+    # Elsewhere (CPU tests/oracles): plain cumsum — the lowering problem is
+    # TPU-specific and the tril form is O(n_seg^2 P) flops vs O(n_seg P)
+    # (round-4 review).
+    c = _cumulative_depth(dtau)
     t_after = jnp.exp(-c)
     # Transmittance BEFORE segment k is t_after of segment k-1 (and 1 at
     # the observer) — a shift, not a second big exp.
@@ -95,10 +110,15 @@ def layer_path_radiance(
     n_seg = seg_layer.shape[0]
     dt = dtau_layers.dtype
     onehot = jax.nn.one_hot(seg_layer, NL, dtype=dt)          # [n_seg, NL]
-    tril = jnp.tril(jnp.ones((n_seg, n_seg), dt))
     hp = dict(precision=jax.lax.Precision.HIGHEST)
-    G = jnp.einsum("st,tl->sl", tril, onehot, **hp)           # counts<=s
-    c = jnp.einsum("sl,...lp->...sp", G, dtau_layers, **hp)
+    if _on_tpu():
+        tril = jnp.tril(jnp.ones((n_seg, n_seg), dt))
+        G = jnp.einsum("st,tl->sl", tril, onehot, **hp)       # counts<=s
+        c = jnp.einsum("sl,...lp->...sp", G, dtau_layers, **hp)
+    else:
+        # CPU/GPU: middle-axis gather + cumsum lower fine there, and skip
+        # the O(n_seg^2 P) tril flops (round-4 review).
+        c = jnp.cumsum(jnp.take(dtau_layers, seg_layer, axis=-2), axis=-2)
     t_after = jnp.exp(-c)
     t_before = jnp.concatenate(
         [jnp.ones_like(t_after[..., :1, :]), t_after[..., :-1, :]], axis=-2)

@@ -47,6 +47,9 @@ class KernelLines(NamedTuple):
     scale_x: jnp.ndarray   # [L]
     y: jnp.ndarray         # [L]
     amps: jnp.ndarray      # [n_out, L]
+    # Optional sub-Lorentzian wing-correction slope per line (ops.chi):
+    # chi(|dnu|) = exp(-chi_b max(|dnu| - 3, 0)); None/0 = off (exact 1).
+    chi_b: Optional[jnp.ndarray] = None
 
 
 def line_kernel_inputs(
@@ -55,12 +58,15 @@ def line_kernel_inputs(
     p_pa,
     p_self_pa=0.0,
     amp_weights: Optional[jnp.ndarray] = None,
+    chi=None,
 ) -> KernelLines:
     """Stage-1 prologue: thermodynamic state -> flat kernel inputs.
 
     T / p_pa / p_self_pa: scalars or [L] per-line arrays (per-species CG
     states scattered onto lines).  amp_weights: [n_out, L] extra per-line
     amplitude weights (column x non-LTE); default a single all-ones row.
+    ``chi`` = (ops.chi.ChiProfile, row_mask [n_species] bool): per-line
+    sub-Lorentzian wing slopes b(T) for the profile's species (0 = off).
     """
     S = line_strength(lines, T)
     ad = doppler_hwhm(lines, T)
@@ -72,11 +78,20 @@ def line_kernel_inputs(
         amps = base[None, :]
     else:
         amps = amp_weights * base[None, :]
+    chi_b = None
+    if chi is not None:
+        profile, row_mask = chi
+        mask = jnp.asarray(row_mask)[lines.species_idx]
+        T_line = jnp.broadcast_to(jnp.asarray(T, base.dtype),
+                                  lines.nu0.shape)
+        chi_b = jnp.where(mask, profile.slope(T_line).astype(base.dtype),
+                          0.0)
     return KernelLines(
         nu_c=nu_c,
         scale_x=SQRT_LN2 * inv_ad,
         y=SQRT_LN2 * gl * inv_ad,
         amps=amps,
+        chi_b=chi_b,
     )
 
 
@@ -98,6 +113,7 @@ def accumulate_jnp(
     sx = kl.scale_x.astype(dt)
     y = kl.y.astype(dt)
     amps = kl.amps.astype(dt)
+    chb = None if kl.chi_b is None else kl.chi_b.astype(dt)
     n_out, L = amps.shape
 
     chunk = min(chunk, max(L, 1))   # short line lists: no pad waste
@@ -108,23 +124,31 @@ def accumulate_jnp(
         sx = jnp.pad(sx, (0, pad), constant_values=1.0)
         y = jnp.pad(y, (0, pad), constant_values=1.0)
         amps = jnp.pad(amps, ((0, 0), (0, pad)))
+        if chb is not None:
+            chb = jnp.pad(chb, (0, pad))
     n_chunks = Lp // chunk
     stacked = (
         nu_c.reshape(n_chunks, chunk),
         sx.reshape(n_chunks, chunk),
         y.reshape(n_chunks, chunk),
         amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2),
+        (jnp.zeros((n_chunks, chunk), dt) if chb is None
+         else chb.reshape(n_chunks, chunk)),
     )
 
     wofz = (voigt_mod.wofz_humlicek4 if variant == "humlicek4"
             else voigt_mod.wofz_weideman)
 
     def body(acc, ch):
-        nc, s, yy, am = ch
+        nc, s, yy, am, cb = ch
         dnu = nu_grid[None, :] - nc[:, None]              # [chunk, P]
         x = s[:, None] * dnu
         yb = jnp.broadcast_to(yy[:, None], x.shape)
         wr, _ = wofz(x, yb)
+        if chb is not None:
+            from spectrobot_tpu.ops.chi import CHI_DELTA1
+            wr = wr * jnp.exp(-cb[:, None] * jnp.maximum(
+                jnp.abs(dnu) - CHI_DELTA1, 0.0))
         if cutoff_cm1 is not None:
             wr = jnp.where(jnp.abs(dnu) <= cutoff_cm1, wr, 0.0)
         # [n_out, P] += [n_out, chunk] @ [chunk, P] — MXU contraction.
@@ -174,7 +198,7 @@ def accumulate_jnp(
 # where K ~ 1e-16).
 
 
-def _basis(nu_grid, nc, s, yy, *, variant, cutoff_cm1, dt):
+def _basis(nu_grid, nc, s, yy, cb=None, *, variant, cutoff_cm1, dt):
     """Per-(line, point) stable basis (K, Kx, xKx, Ky) for one line chunk.
 
     Both K and the partials come from the closed-form gradient of the SAME
@@ -193,6 +217,16 @@ def _basis(nu_grid, nc, s, yy, *, variant, cutoff_cm1, dt):
         wr, _, kx, ky = voigt_mod.wofz_humlicek4_grad(x, ybc)
     else:
         wr, _, kx, ky = voigt_mod.wofz_weideman_grad(x, ybc)
+    if cb is not None:
+        # Sub-Lorentzian wing factor (ops.chi): scales ALL basis rows —
+        # chi is treated as CONSTANT in the tangent (frozen-chi
+        # convention, ops/chi.py docstring).
+        from spectrobot_tpu.ops.chi import CHI_DELTA1
+        ch = jnp.exp(-cb[:, None] * jnp.maximum(jnp.abs(dnu) - CHI_DELTA1,
+                                                0.0))
+        wr = wr * ch
+        kx = kx * ch
+        ky = ky * ch
     if cutoff_cm1 is not None:
         m = (jnp.abs(dnu) <= cutoff_cm1).astype(dt)
         wr = wr * m
@@ -202,7 +236,7 @@ def _basis(nu_grid, nc, s, yy, *, variant, cutoff_cm1, dt):
 
 
 def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
-                       d_nu_c, d_sx, d_y, d_amps,
+                       d_nu_c, d_sx, d_y, d_amps, chb=None,
                        *, chunk, variant, cutoff_cm1, with_primal=False):
     """Tangent of accumulate for one tangent vector (vmap-friendly: the
     basis evaluation does not touch tangent inputs).
@@ -233,17 +267,23 @@ def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
         d_sx = jnp.pad(d_sx, (0, pad))
         d_y = jnp.pad(d_y, (0, pad))
         d_amps = jnp.pad(d_amps, ((0, 0), (0, pad)))
+        if chb is not None:
+            chb = jnp.pad(chb, (0, pad))
     n_chunks = Lp // chunk
     resh = lambda a: a.reshape(n_chunks, chunk)
     stacked = (resh(nu_c), resh(sx), resh(y),
                amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2),
                resh(d_nu_c), resh(d_sx), resh(d_y),
-               d_amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2))
+               d_amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2),
+               (jnp.zeros((n_chunks, chunk), dt) if chb is None
+                else resh(chb.astype(dt))))
 
     def body(carry, ch):
         acc, acc_p = carry
-        nc, s, yy, am, dnc, dsx, dy, dam = ch
-        K, Kx, xKx, Ky = _basis(nu_grid, nc, s, yy, variant=variant,
+        nc, s, yy, am, dnc, dsx, dy, dam, cb = ch
+        K, Kx, xKx, Ky = _basis(nu_grid, nc, s, yy,
+                                cb if chb is not None else None,
+                                variant=variant,
                                 cutoff_cm1=cutoff_cm1, dt=dt)
         B1 = dam                                    # [n_out, c]
         B2 = am * (-s * dnc)[None, :]
@@ -267,7 +307,7 @@ def _tangent_via_basis(nu_grid, nu_c, sx, y, amps,
     return (out_p, out) if with_primal else out
 
 
-def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
+def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct, chb=None,
                        *, chunk, variant, cutoff_cm1):
     """Explicit transpose of :func:`_tangent_via_basis` in its tangent
     arguments: cotangent [n_out, P] -> cotangents of (nu_c, sx, y, amps).
@@ -283,14 +323,20 @@ def _tangent_transpose(nu_grid, nu_c, sx, y, amps, ct,
         sx = jnp.pad(sx, (0, pad), constant_values=1.0)
         y = jnp.pad(y, (0, pad), constant_values=1.0)
         amps = jnp.pad(amps, ((0, 0), (0, pad)))
+        if chb is not None:
+            chb = jnp.pad(chb, (0, pad))
     n_chunks = Lp // chunk
     resh = lambda a: a.reshape(n_chunks, chunk)
     stacked = (resh(nu_c), resh(sx), resh(y),
-               amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2))
+               amps.reshape(n_out, n_chunks, chunk).transpose(1, 0, 2),
+               (jnp.zeros((n_chunks, chunk), dt) if chb is None
+                else resh(chb.astype(dt))))
 
     def body(_, ch):
-        nc, s, yy, am = ch
-        K, Kx, xKx, Ky = _basis(nu_grid, nc, s, yy, variant=variant,
+        nc, s, yy, am, cb = ch
+        K, Kx, xKx, Ky = _basis(nu_grid, nc, s, yy,
+                                cb if chb is not None else None,
+                                variant=variant,
                                 cutoff_cm1=cutoff_cm1, dt=dt)
         # Abar_k[o, c] = <ct, basis_k> along p (HIGHEST: see tangent note)
         Ab = lambda B: jnp.einsum("op,cp->oc", ct, B,
@@ -361,12 +407,14 @@ def accumulate_pallas_jit(nu_grid, kl: KernelLines, *,
         nu_pad.reshape(Pp, 1), padl(kl.nu_c, far_line).reshape(1, Lp),
         padl(kl.scale_x, 1e6).reshape(1, Lp), padl(kl.y, 1e6).reshape(1, Lp),
         amps_p, starts, counts, max_blocks=int(max_blocks), tile_p=tile_p,
-        block_l=block_l, cutoff_cm1=cutoff_cm1, interpret=interpret)
+        block_l=block_l, cutoff_cm1=cutoff_cm1, interpret=interpret,
+        chi2d=(None if kl.chi_b is None
+               else padl(kl.chi_b, 0.0).reshape(1, Lp)))
     return out[:, :P]
 
 
 def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=None, block_l=None,
-                         max_blocks=None):
+                         max_blocks=None, has_chi=False):
     """Fused Pallas tangent of the accumulation (VERDICT.md round-1 item 4).
 
     Returns tangent(nu, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps,
@@ -420,9 +468,11 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=None, block_l=None,
     def zeros_like_rows(am):
         return jnp.zeros_like(am)
 
+    chi_kw = lambda cb: ({"chi_b": cb} if has_chi else {})
+
     # ---- level 1: explicit state batch [B, ...] ----
     @custom_vmap
-    def tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam, wst, wct):
+    def tanB(nu, nc, sx, y, cb, am, dnc, dsx, dy, dam, wst, wct):
         C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
         z = zeros_like_rows(am)
         cat = lambda a, b: jnp.concatenate([a, b], axis=1)
@@ -432,22 +482,22 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=None, block_l=None,
                | jnp.any(dam != 0, axis=(1, 2))).astype(jnp.int32)
         out = basis_contract_pallas_batch_jit(
             nu, nc, sx, y, cat(am, C1), cat(z, C2), cat(z, C3), cat(z, C4),
-            windows=win(wst, wct), active=act, **kw)
+            windows=win(wst, wct), active=act, **chi_kw(cb), **kw)
         n_out = am.shape[1]
         return out[:, :n_out], out[:, n_out:]
 
     @tanB.def_vmap
-    def tanB_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam,
-                  wst, wct):
-        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b, wsb, wcb = in_batched
+    def tanB_rule(axis_size, in_batched, nu, nc, sx, y, cb, am, dnc, dsx,
+                  dy, dam, wst, wct):
+        nub, ncb, sxb, yb, cbb, amb, d1b, d2b, d3b, d4b, wsb, wcb = in_batched
         assert not (wsb or wcb), "window tables must not be batched"
         if nub:  # grid batched — no fused form; correctness fallback
             args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
-                    for a, b in zip((nu, nc, sx, y, am, dnc, dsx, dy, dam),
-                                    in_batched[:9])]
+                    for a, b in zip((nu, nc, sx, y, cb, am, dnc, dsx, dy, dam),
+                                    in_batched[:10])]
             return jax.lax.map(lambda t: tanB(*t, wst, wct),
                                tuple(args)), (True, True)
-        if not (ncb or sxb or yb or amb):
+        if not (ncb or sxb or yb or cbb or amb):
             # Tangent-only batch: fold n_t into the kernel row axis; the
             # primal rows are shared (unbatched output).
             n_t = axis_size
@@ -462,7 +512,7 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=None, block_l=None,
             out = basis_contract_pallas_batch_jit(
                 nu, nc, sx, y, cat(am, fold(C1)), cat(z, fold(C2)),
                 cat(z, fold(C3)), cat(z, fold(C4)), windows=win(wst, wct),
-                active=act, **kw)
+                active=act, **chi_kw(cb), **kw)
             primal = out[:, :n_out]
             tangent = jnp.moveaxis(
                 out[:, n_out:].reshape(B, n_t, n_out, -1), 1, 0)
@@ -470,40 +520,41 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=None, block_l=None,
         # Structural batch (or mixed): broadcast and flatten into B.
         bcast = lambda a, b: a if b else jnp.broadcast_to(
             a, (axis_size,) + a.shape)
-        nc, sx, y, am, dnc, dsx, dy, dam = (
-            bcast(a, b) for a, b in zip((nc, sx, y, am, dnc, dsx, dy, dam),
-                                        (ncb, sxb, yb, amb, d1b, d2b, d3b, d4b)))
+        nc, sx, y, cb, am, dnc, dsx, dy, dam = (
+            bcast(a, b) for a, b in zip(
+                (nc, sx, y, cb, am, dnc, dsx, dy, dam),
+                (ncb, sxb, yb, cbb, amb, d1b, d2b, d3b, d4b)))
         B2, B = nc.shape[0], nc.shape[1]
         flat = lambda a: a.reshape((B2 * B,) + a.shape[2:])
-        p, t = tanB(nu, flat(nc), flat(sx), flat(y), flat(am),
+        p, t = tanB(nu, flat(nc), flat(sx), flat(y), flat(cb), flat(am),
                     flat(dnc), flat(dsx), flat(dy), flat(dam), wst, wct)
         unflat = lambda a: a.reshape((B2, B) + a.shape[1:])
         return (unflat(p), unflat(t)), (True, True)
 
     # ---- level 0: single state ----
     @custom_vmap
-    def tan0(nu, nc, sx, y, am, dnc, dsx, dy, dam, wst, wct):
+    def tan0(nu, nc, sx, y, cb, am, dnc, dsx, dy, dam, wst, wct):
         C1, C2, C3, C4 = coeffs(sx, am, dnc, dsx, dy, dam)
         z = zeros_like_rows(am)
         cat = lambda a, b: jnp.concatenate([a, b], axis=0)
         out = basis_contract_pallas_jit(
             nu, nc, sx, y, cat(am, C1), cat(z, C2), cat(z, C3), cat(z, C4),
-            windows=win(wst, wct), **kw)
+            windows=win(wst, wct), **chi_kw(cb), **kw)
         n_out = am.shape[0]
         return out[:n_out], out[n_out:]
 
     @tan0.def_vmap
-    def tan0_rule(axis_size, in_batched, nu, nc, sx, y, am, dnc, dsx, dy, dam,
-                  wst, wct):
-        nub, ncb, sxb, yb, amb, d1b, d2b, d3b, d4b, wsb, wcb = in_batched
+    def tan0_rule(axis_size, in_batched, nu, nc, sx, y, cb, am, dnc, dsx,
+                  dy, dam, wst, wct):
+        nub, ncb, sxb, yb, cbb, amb, d1b, d2b, d3b, d4b, wsb, wcb = in_batched
         assert not (wsb or wcb), "window tables must not be batched"
         if nub:  # grid batched — correctness fallback
             args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
-                    for a, b in zip((nu, nc, sx, y, am, dnc, dsx, dy, dam),
-                                    in_batched[:9])]
+                    for a, b in zip((nu, nc, sx, y, cb, am, dnc, dsx, dy, dam),
+                                    in_batched[:10])]
             return jax.lax.map(lambda t: tan0(*t, wst, wct),
                                tuple(args)), (True, True)
-        if not (ncb or sxb or yb or amb):
+        if not (ncb or sxb or yb or cbb or amb):
             # Tangent-only batch (jacfwd over a single state): fold into
             # rows; primal rows shared (unbatched output).
             n_t = axis_size
@@ -515,23 +566,24 @@ def _make_tangent_pallas(*, cutoff_cm1, interpret, tile_p=None, block_l=None,
             out = basis_contract_pallas_jit(
                 nu, nc, sx, y, cat(am, fold(C1)), cat(z, fold(C2)),
                 cat(z, fold(C3)), cat(z, fold(C4)), windows=win(wst, wct),
-                **kw)
+                **chi_kw(cb), **kw)
             return (out[:n_out], out[n_out:].reshape(n_t, n_out, -1)), \
                 (False, True)
         # Structural batch: promote to the explicit-batch op.
         bcast = lambda a, b: a if b else jnp.broadcast_to(
             a, (axis_size,) + a.shape)
-        nc, sx, y, am, dnc, dsx, dy, dam = (
-            bcast(a, b) for a, b in zip((nc, sx, y, am, dnc, dsx, dy, dam),
-                                        (ncb, sxb, yb, amb, d1b, d2b, d3b, d4b)))
-        return tanB(nu, nc, sx, y, am, dnc, dsx, dy, dam, wst, wct), \
+        nc, sx, y, cb, am, dnc, dsx, dy, dam = (
+            bcast(a, b) for a, b in zip(
+                (nc, sx, y, cb, am, dnc, dsx, dy, dam),
+                (ncb, sxb, yb, cbb, amb, d1b, d2b, d3b, d4b)))
+        return tanB(nu, nc, sx, y, cb, am, dnc, dsx, dy, dam, wst, wct), \
             (True, True)
 
     return tan0
 
 
 def _make_primal_pallas(*, cutoff_cm1, interpret, max_blocks=None,
-                        tile_p=None, block_l=None):
+                        tile_p=None, block_l=None, has_chi=False):
     """Primal-only Pallas accumulation with structural-batch routing.
 
     Mirrors :func:`_make_tangent_pallas`'s two custom_vmap levels for the
@@ -554,46 +606,53 @@ def _make_primal_pallas(*, cutoff_cm1, interpret, max_blocks=None,
     def win(wst, wct):
         return None if max_blocks is None else (wst, wct, max_blocks)
 
+    chi_kw = lambda cb: ({"chi_b": cb} if has_chi else {})
+
     @custom_vmap
-    def accB(nu, nc, sx, y, am, wst, wct):
+    def accB(nu, nc, sx, y, cb, am, wst, wct):
         return accumulate_pallas_batch_jit(nu, nc, sx, y, am,
-                                           windows=win(wst, wct), **kw)
+                                           windows=win(wst, wct),
+                                           **chi_kw(cb), **kw)
 
     @accB.def_vmap
-    def accB_rule(axis_size, in_batched, nu, nc, sx, y, am, wst, wct):
-        nub, ncb, sxb, yb, amb, wsb, wcb = in_batched
+    def accB_rule(axis_size, in_batched, nu, nc, sx, y, cb, am, wst, wct):
+        nub, ncb, sxb, yb, cbb, amb, wsb, wcb = in_batched
         assert not (wsb or wcb), "window tables must not be batched"
         if nub:  # grid batched — correctness fallback
             args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
-                    for a, b in zip((nu, nc, sx, y, am), in_batched[:5])]
+                    for a, b in zip((nu, nc, sx, y, cb, am), in_batched[:6])]
             return jax.lax.map(lambda t: accB(*t, wst, wct), tuple(args)), True
         bcast = lambda a, b: a if b else jnp.broadcast_to(
             a, (axis_size,) + a.shape)
-        nc, sx, y, am = (bcast(a, b) for a, b in
-                         zip((nc, sx, y, am), (ncb, sxb, yb, amb)))
+        nc, sx, y, cb, am = (bcast(a, b) for a, b in
+                             zip((nc, sx, y, cb, am),
+                                 (ncb, sxb, yb, cbb, amb)))
         B2, B = nc.shape[0], nc.shape[1]
         flat = lambda a: a.reshape((B2 * B,) + a.shape[2:])
-        out = accB(nu, flat(nc), flat(sx), flat(y), flat(am), wst, wct)
+        out = accB(nu, flat(nc), flat(sx), flat(y), flat(cb), flat(am),
+                   wst, wct)
         return out.reshape((B2, B) + out.shape[1:]), True
 
     @custom_vmap
-    def acc0(nu, nc, sx, y, am, wst, wct):
+    def acc0(nu, nc, sx, y, cb, am, wst, wct):
         return accumulate_pallas_jit(
-            nu, KernelLines(nc, sx, y, am), windows=win(wst, wct), **kw)
+            nu, KernelLines(nc, sx, y, am, cb if has_chi else None),
+            windows=win(wst, wct), **kw)
 
     @acc0.def_vmap
-    def acc0_rule(axis_size, in_batched, nu, nc, sx, y, am, wst, wct):
-        nub, ncb, sxb, yb, amb, wsb, wcb = in_batched
+    def acc0_rule(axis_size, in_batched, nu, nc, sx, y, cb, am, wst, wct):
+        nub, ncb, sxb, yb, cbb, amb, wsb, wcb = in_batched
         assert not (wsb or wcb), "window tables must not be batched"
         if nub:  # grid batched — correctness fallback
             args = [jnp.broadcast_to(a, (axis_size,) + a.shape) if not b else a
-                    for a, b in zip((nu, nc, sx, y, am), in_batched[:5])]
+                    for a, b in zip((nu, nc, sx, y, cb, am), in_batched[:6])]
             return jax.lax.map(lambda t: acc0(*t, wst, wct), tuple(args)), True
         bcast = lambda a, b: a if b else jnp.broadcast_to(
             a, (axis_size,) + a.shape)
-        nc, sx, y, am = (bcast(a, b) for a, b in
-                         zip((nc, sx, y, am), (ncb, sxb, yb, amb)))
-        return accB(nu, nc, sx, y, am, wst, wct), True
+        nc, sx, y, cb, am = (bcast(a, b) for a, b in
+                             zip((nc, sx, y, cb, am),
+                                 (ncb, sxb, yb, cbb, amb)))
+        return accB(nu, nc, sx, y, cb, am, wst, wct), True
 
     return acc0
 
@@ -601,7 +660,8 @@ def _make_primal_pallas(*, cutoff_cm1, interpret, max_blocks=None,
 def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                        cutoff_cm1: Optional[float] = 25.0,
                        engine: str = "jnp", interpret: bool = False,
-                       mode: str = "fwd", windows=None, windows_T=None):
+                       mode: str = "fwd", windows=None, windows_T=None,
+                       has_chi: bool = False):
     """Build accumulate(nu_grid, nu_c, scale_x, y, amps) -> [n_out, P] with
     ANALYTIC derivatives.  nu_grid is non-differentiated (static instrument
     grid; its tangent/cotangent is ignored/zero).  engine: 'jnp' (XLA, any
@@ -640,6 +700,11 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
             f"{variant!r} so primal and tangent share one evaluator")
     if mode not in ("fwd", "rev"):
         raise ValueError(f"mode must be 'fwd' or 'rev', got {mode!r}")
+    if has_chi and mode == "rev":
+        raise NotImplementedError(
+            "the chi wing-correction hook currently supports forward-mode "
+            "AD only (analytic_jvp='fwd'); the custom-VJP transpose does "
+            "not yet carry the chi factor")
 
     # Ragged kernel windows: (starts, counts) flow as ARGUMENTS through the
     # custom_jvp/custom_vmap boundaries (those stage their functions, so
@@ -653,14 +718,17 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
         _wct = jnp.asarray(windows[1], jnp.int32)
 
     primal_pallas = (_make_primal_pallas(
-        cutoff_cm1=cutoff_cm1, interpret=interpret, max_blocks=mb)
+        cutoff_cm1=cutoff_cm1, interpret=interpret, max_blocks=mb,
+        has_chi=has_chi)
         if engine == "pallas" else None)
 
-    def _primal(nu_grid, nu_c, sx, y, amps, wst, wct):
+    def _primal(nu_grid, nu_c, sx, y, chb, amps, wst, wct):
         if engine == "pallas":
-            return primal_pallas(nu_grid, nu_c, sx, y, amps, wst,
+            return primal_pallas(nu_grid, nu_c, sx, y, chb, amps, wst,
                                  wct).astype(jnp.result_type(nu_grid))
-        return accumulate_jnp(nu_grid, KernelLines(nu_c, sx, y, amps), **kw)
+        return accumulate_jnp(
+            nu_grid,
+            KernelLines(nu_c, sx, y, amps, chb if has_chi else None), **kw)
 
     if mode == "rev":
         if windows is not None and isinstance(windows[0], jax.core.Tracer):
@@ -670,10 +738,12 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                 "bodies or run the rev op outside the mesh")
         @jax.custom_vjp
         def acc(nu_grid, nu_c, sx, y, amps):
-            return _primal(nu_grid, nu_c, sx, y, amps, _wst, _wct)
+            return _primal(nu_grid, nu_c, sx, y, jnp.zeros_like(y), amps,
+                           _wst, _wct)
 
         def acc_fwd(nu_grid, nu_c, sx, y, amps):
-            return (_primal(nu_grid, nu_c, sx, y, amps, _wst, _wct),
+            return (_primal(nu_grid, nu_c, sx, y, jnp.zeros_like(y), amps,
+                            _wst, _wct),
                     (nu_grid, nu_c, sx, y, amps))
 
         def acc_bwd(res, ct):
@@ -699,37 +769,41 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
         return acc
 
     tangent_pallas = (_make_tangent_pallas(
-        cutoff_cm1=cutoff_cm1, interpret=interpret, max_blocks=mb)
+        cutoff_cm1=cutoff_cm1, interpret=interpret, max_blocks=mb,
+        has_chi=has_chi)
         if engine == "pallas" else None)
 
     @jax.custom_jvp
-    def acc(nu_grid, nu_c, sx, y, amps, wst, wct):
-        return _primal(nu_grid, nu_c, sx, y, amps, wst, wct)
+    def acc(nu_grid, nu_c, sx, y, chb, amps, wst, wct):
+        return _primal(nu_grid, nu_c, sx, y, chb, amps, wst, wct)
 
     @acc.defjvp
     def acc_jvp(primals, tangents):
         # The primal comes out of the SAME basis pass as the tangent
         # (out = amps @ K with K already in hand) — one Voigt-grad
-        # evaluation yields primal + every Jacobian column.
-        nu_grid, nu_c, sx, y, amps, wst, wct = primals
-        _, d_nu_c, d_sx, d_y, d_amps = tangents[:5]
+        # evaluation yields primal + every Jacobian column.  The chi
+        # tangent is IGNORED (frozen-chi convention, ops/chi.py).
+        nu_grid, nu_c, sx, y, chb, amps, wst, wct = primals
+        _, d_nu_c, d_sx, d_y, _d_chb, d_amps = tangents[:6]
         if tangent_pallas is not None:
             zero = lambda p, d: jnp.zeros_like(p) if d is None else d
             primal_out, tangent_out = tangent_pallas(
-                nu_grid, nu_c, sx, y, amps, zero(nu_c, d_nu_c),
+                nu_grid, nu_c, sx, y, chb, amps, zero(nu_c, d_nu_c),
                 zero(sx, d_sx), zero(y, d_y), zero(amps, d_amps),
                 wst, wct)
             dt = jnp.result_type(nu_grid)
             return primal_out.astype(dt), tangent_out.astype(dt)
         primal_out, tangent_out = _tangent_via_basis(
             nu_grid, nu_c, sx, y, amps, d_nu_c, d_sx, d_y, d_amps,
-            with_primal=True, **kw)
+            chb if has_chi else None, with_primal=True, **kw)
         return primal_out, tangent_out
 
-    def acc_pub(nu_grid, nu_c, sx, y, amps):
+    def acc_pub(nu_grid, nu_c, sx, y, amps, chb=None):
         # Plain inline wrapper (no staging): binds the window tables in the
         # SAME trace that created them.
-        return acc(nu_grid, nu_c, sx, y, amps, _wst, _wct)
+        if chb is None:
+            chb = jnp.zeros_like(y)
+        return acc(nu_grid, nu_c, sx, y, chb, amps, _wst, _wct)
 
     return acc_pub
 

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spectrobot_tpu.constants import INV_SQRT_PI
 from spectrobot_tpu.ops import cpx
+from spectrobot_tpu.ops.chi import CHI_DELTA1
 from spectrobot_tpu.ops.opacity import KernelLines
 from spectrobot_tpu.ops.voigt import wofz_humlicek4, wofz_humlicek4_grad
 
@@ -66,7 +67,83 @@ def _round_up(x: int, m: int) -> int:
 # exhausts the 16 MB scoped VMEM under the 66-row fused-Jacobian
 # accumulator.
 DEFAULT_TILE_P = 256
-DEFAULT_BLOCK_L = 128
+DEFAULT_BLOCK_L = 256
+
+# Dispatch sub-blocking (round 5): each DMA'd line block is processed in
+# SUB_BLOCKS independent slices of BLOCK_L/SUB_BLOCKS lines, each with its
+# own region-dispatch bound and MXU contraction, STATICALLY UNROLLED in
+# the kernel body.  This decouples the DMA/grid granularity (BLOCK_L —
+# fewer, larger grid steps amortise Mosaic's per-step machinery) from the
+# dispatch granularity (the 128-line sub-slice span keeps the near-core
+# tier quantised exactly as tightly as the old 128-line blocks).  Results
+# are bit-identical for any split: the in-kernel cutoff mask is
+# per-element and each sub-slice's dispatch bound is conservative over
+# exactly that slice.
+#
+# Round-5 measurements at the bench.py fused scenario (2048 lines, 8192
+# pts, 640 states): 256/2 = fwd 126 / jac 312 ms vs 128/1 = 130 / 320
+# (fewer grid steps, same dispatch); 512/4 = jac 897 ms (VMEM pressure
+# from 4x [66, 512] coefficient blocks — rejected); dense 256x256 kernel
+# 7.64 ms vs 7.96 at sub=1 (finer dispatch).  The round-4 "256-block"
+# rejection measured 256-wide DISPATCH (no sub-blocking), which widened
+# the near-tier quantisation — sub-blocking removes exactly that cost.
+DEFAULT_SUB_BLOCKS = 2
+
+# MXU precision for the in-kernel reduction matmuls.  HIGHEST = 6-pass
+# bf16 decomposition of f32 operands (full f32 accuracy); HIGH = 3-pass
+# (~1e-7 rel on these contractions); DEFAULT = single bf16 pass.  Env
+# override SPECTROBOT_MM_PRECISION={highest,high,default} exists for
+# A/B benchmarking only — production and tests use the baked-in default.
+import os as _os
+
+_MM_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("SPECTROBOT_MM_PRECISION", "highest").lower()]
+
+# Geometry A/B overrides (benchmarks only — one consistent value per
+# process, so window tables and kernels always agree; the round-4
+# monkeypatch pitfall cannot occur through these).
+DEFAULT_TILE_P = int(_os.environ.get("SPECTROBOT_TILE_P",
+                                     str(DEFAULT_TILE_P)))
+DEFAULT_BLOCK_L = int(_os.environ.get("SPECTROBOT_BLOCK_L",
+                                      str(DEFAULT_BLOCK_L)))
+DEFAULT_SUB_BLOCKS = int(_os.environ.get("SPECTROBOT_SUB_BLOCKS",
+                                         str(DEFAULT_SUB_BLOCKS)))
+
+# A/B flag: contract the four basis matrices in ONE dot_general by
+# concatenating along the contraction (line) axis instead of four dots.
+_MERGED_DOT = _os.environ.get("SPECTROBOT_MERGED_DOT", "0") == "1"
+
+# Grid dimension semantics: the batch (state) and nu-tile grid axes carry
+# no cross-iteration dependence — only the innermost line-block axis
+# accumulates into a revisited output — so they are declared PARALLEL to
+# Mosaic (pipelining/reordering freedom).  SPECTROBOT_DIMSEM=0 is the A/B
+# escape hatch.
+_DIMSEM = _os.environ.get("SPECTROBOT_DIMSEM", "1") == "1"
+
+
+def _cparams(n_parallel: int, n_total: int):
+    if not _DIMSEM:
+        return None
+    sem = (("parallel",) * n_parallel
+           + ("arbitrary",) * (n_total - n_parallel))
+    return pltpu.CompilerParams(dimension_semantics=sem)
+
+
+# Benchmark-only ablation for the batched basis kernel (WRONG RESULTS —
+# never set outside benchmarks/):  "novoigt" replaces the basis evaluation
+# with pass-throughs (isolates matmul+DMA+grid cost), "nodot" replaces the
+# four matmuls with a scalar reduction (isolates Voigt VPU cost).
+_ABLATE = _os.environ.get("SPECTROBOT_KERNEL_ABLATE", "")
+
+# Block-level region-IV elision threshold: region IV needs
+# y < 0.195|x| - 0.176 with |x| + y < 5.5, so its y is < 0.8965; a block
+# whose min(y) >= 0.9 (margin for f32 slop) provably has no region-IV
+# pair and dispatches to the transcendental-free 3-region evaluator
+# (bit-identical there — see ops.voigt.wofz_humlicek4).
+_Y4_MIN = float(_os.environ.get("SPECTROBOT_Y4_MIN", "0.9"))
 
 
 def _wr_region1(x, y):
@@ -100,18 +177,21 @@ def _wr_region2(x, y):
     return (nr * dr + ni * di) * inv
 
 
-def _wr_tile(x, y, s_min):
+def _wr_tile(x, y, s_min, y_min):
     """Faddeeva real part for one (TILE_P x BLOCK_L) tile with block-level
     region dispatch on the conservative bound s >= s_min:
 
       s_min >= 15  : every pair is in Humlicek region 1 (12 flops)
       s_min >= 5.5 : regions 1/2 only — pointwise select between the two
                      rationals (~60 flops, still transcendental-free)
+      y_min >= 0.9 : regions 1/2/3 — region IV provably empty, so the
+                     transcendental cexp + degree-6/7 rationals are skipped
       otherwise    : full branchless w4 (all four regions + complex exp)
 
     Each branch is EXACTLY what pointwise w4 selects in its regime, so
     dispatch preserves bit parity.  s_min = gap*min(sx) + min(y) over the
-    block, computed by the CALLER from the tile/block extremes (sorted).
+    block, computed by the CALLER from the tile/block extremes (sorted);
+    y_min = min(y) over the block (the _Y4_MIN elision bound).
     """
     def far(_):
         return _wr_region1(x, y)
@@ -120,12 +200,18 @@ def _wr_tile(x, y, s_min):
         s = jnp.abs(x) + y
         return jnp.where(s >= 15.0, _wr_region1(x, y), _wr_region2(x, y))
 
+    def near3(_):
+        wr, _ = wofz_humlicek4(x, y, with_region4=False)
+        return wr
+
     def near(_):
         wr, _ = wofz_humlicek4(x, y)
         return wr
 
-    idx = jnp.where(s_min >= 15.0, 0, jnp.where(s_min >= 5.5, 1, 2))
-    return jax.lax.switch(idx, (far, mid, near), None)
+    idx = jnp.where(s_min >= 15.0, 0,
+                    jnp.where(s_min >= 5.5, 1,
+                              jnp.where(y_min >= _Y4_MIN, 2, 3)))
+    return jax.lax.switch(idx, (far, mid, near3, near), None)
 
 
 def _wrg_region1(x, y):
@@ -165,8 +251,8 @@ def _wrg_region2(x, y):
     return w[0], g[1], g[0]
 
 
-def _basis_tile(x, y, s_min):
-    """(K, Kx, xKx, Ky) for one tile with the same 3-tier block-level region
+def _basis_tile(x, y, s_min, y_min):
+    """(K, Kx, xKx, Ky) for one tile with the same 4-tier block-level region
     dispatch as :func:`_wr_tile` — each tier computes the closed-form
     derivative OF the formula the primal uses there, so the analytic
     Jacobian is the exact derivative of the kernel forward."""
@@ -184,16 +270,22 @@ def _basis_tile(x, y, s_min):
         ky = jnp.where(m, ky1, ky2)
         return K, kx, x * kx, ky
 
+    def near3(_):
+        K, _, kx, ky = wofz_humlicek4_grad(x, y, with_region4=False)
+        return K, kx, x * kx, ky
+
     def near(_):
         K, _, kx, ky = wofz_humlicek4_grad(x, y)
         return K, kx, x * kx, ky
 
-    idx = jnp.where(s_min >= 15.0, 0, jnp.where(s_min >= 5.5, 1, 2))
-    return jax.lax.switch(idx, (far, mid, near), None)
+    idx = jnp.where(s_min >= 15.0, 0,
+                    jnp.where(s_min >= 5.5, 1,
+                              jnp.where(y_min >= _Y4_MIN, 2, 3)))
+    return jax.lax.switch(idx, (far, mid, near3, near), None)
 
 
-def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
-            out_ref, *, cutoff: Optional[float], n_out: int):
+def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, *rest,
+            cutoff: Optional[float], n_out: int, has_chi: bool = False):
     """One (nu-tile, line-block) step.
 
     nblk_ref/starts_ref: scalar-prefetch [n_tiles] int32 — per-tile count and
@@ -202,6 +294,9 @@ def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
     nu_ref: [TILE_P, 1]; nuc/sx/y_ref: [1, BLOCK_L]; amps_ref:
     [n_out, BLOCK_L]; out_ref: [n_out, TILE_P].
     """
+    chb_ref = rest[0] if has_chi else None
+    amps_ref = rest[-2]
+    out_ref = rest[-1]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -219,8 +314,12 @@ def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
         gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0] - nu_ref[np_ - 1, 0],
                                       nu_ref[0, 0] - nuc_ref[0, nuc_ref.shape[1] - 1]),
                           0.0)
-        s_min = gap * jnp.min(sx_ref[:, :]) + jnp.min(y_ref[:, :])
-        wr = _wr_tile(x, y, s_min)
+        y_min = jnp.min(y_ref[:, :])
+        s_min = gap * jnp.min(sx_ref[:, :]) + y_min
+        wr = _wr_tile(x, y, s_min, y_min)
+        if has_chi:
+            wr = wr * jnp.exp(-chb_ref[:, :] * jnp.maximum(
+                jnp.abs(dnu) - CHI_DELTA1, 0.0))
         if cutoff is not None:
             wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
         # Reduction over lines on the MXU:
@@ -229,7 +328,7 @@ def _kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref, amps_ref,
             amps_ref[:, :], wr,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )
 
 
@@ -298,10 +397,12 @@ def static_windows(nu_host: np.ndarray, nu0_host: np.ndarray, *,
     static_argnames=("max_blocks", "tile_p", "block_l", "cutoff_cm1",
                      "interpret"))
 def _accumulate_padded(nu2d, nuc2d, sx2d, y2d, amps, starts, counts,
-                       *, max_blocks, tile_p, block_l, cutoff_cm1, interpret):
+                       *, max_blocks, tile_p, block_l, cutoff_cm1, interpret,
+                       chi2d=None):
     n_out = amps.shape[0]
     P = nu2d.shape[0]
     n_tiles = P // tile_p
+    has_chi = chi2d is not None
 
     grid = (n_tiles, int(max_blocks))
 
@@ -317,31 +418,39 @@ def _accumulate_padded(nu2d, nuc2d, sx2d, y2d, amps, starts, counts,
         return (0, jnp.minimum(starts_ref[i] + j,
                                nuc2d.shape[1] // block_l - 1))
 
+    in_specs = [
+        pl.BlockSpec((tile_p, 1), nu_map),
+        pl.BlockSpec((1, block_l), line_map),
+        pl.BlockSpec((1, block_l), line_map),
+        pl.BlockSpec((1, block_l), line_map),
+    ]
+    ins = [nu2d, nuc2d, sx2d, y2d]
+    if has_chi:
+        in_specs.append(pl.BlockSpec((1, block_l), line_map))
+        ins.append(chi2d)
+    in_specs.append(pl.BlockSpec((n_out, block_l), amps_map))
+    ins.append(amps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_p, 1), nu_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((n_out, block_l), amps_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((n_out, tile_p), lambda i, j, *_: (0, i)),
     )
-    kern = functools.partial(_kernel, cutoff=cutoff_cm1, n_out=n_out)
+    kern = functools.partial(_kernel, cutoff=cutoff_cm1, n_out=n_out,
+                             has_chi=has_chi)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_out, P), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=_cparams(1, 2),
         interpret=interpret,
-    )(counts, starts, nu2d, nuc2d, sx2d, y2d, amps)
+    )(counts, starts, *ins)
     return out
 
 
 def _batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref, sx_ref,
-                  y_ref, amps_ref, out_ref, *, cutoff: Optional[float],
-                  n_out: int):
+                  y_ref, *rest, cutoff: Optional[float],
+                  n_out: int, sub_blocks: int = 1, has_chi: bool = False):
     """Batched variant: one batch element (ray x layer) per leading grid dim.
 
     nu_ref: [TILE_P, 1]; nuc/sx/y_ref: [1, 1, BLOCK_L]; amps_ref:
@@ -351,7 +460,14 @@ def _batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref, sx_ref,
     bit-exact — and in a limb scan the layers below each ray's tangent
     point (zero chord length, hence zero column) are ~45 % of the (ray x
     layer) rectangle.
+
+    ``sub_blocks``: dispatch sub-slices per DMA block (module note at
+    DEFAULT_SUB_BLOCKS) — statically unrolled; each slice gets its own
+    conservative region bound and its own MXU contraction.
     """
+    chb_ref = rest[0] if has_chi else None
+    amps_ref = rest[-2]
+    out_ref = rest[-1]
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -362,32 +478,43 @@ def _batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref, sx_ref,
 
     @pl.when(jnp.logical_and(j < nblk_ref[i], act_ref[b] != 0))
     def _accum():
-        dnu = nu_ref[:, :] - nuc_ref[0, :, :]
-        x = dnu * sx_ref[0, :, :]
-        y = jnp.broadcast_to(y_ref[0, :, :], x.shape)
         np_ = nu_ref.shape[0]
-        gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0, 0] - nu_ref[np_ - 1, 0],
-                                      nu_ref[0, 0] - nuc_ref[0, 0, nuc_ref.shape[2] - 1]),
-                          0.0)
-        s_min = gap * jnp.min(sx_ref[0, :, :]) + jnp.min(y_ref[0, :, :])
-        wr = _wr_tile(x, y, s_min)
-        if cutoff is not None:
-            wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
-        out_ref[0, :, :] += jax.lax.dot_general(
-            amps_ref[0, :, :], wr,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        BL = nuc_ref.shape[2]
+        SBL = BL // sub_blocks
+        for k in range(sub_blocks):
+            sl = slice(k * SBL, (k + 1) * SBL)
+            nuc = nuc_ref[0, :, sl]                    # [1, SBL]
+            sxv = sx_ref[0, :, sl]
+            yv = y_ref[0, :, sl]
+            dnu = nu_ref[:, :] - nuc                   # [TILE_P, SBL]
+            x = dnu * sxv
+            y = jnp.broadcast_to(yv, x.shape)
+            gap = jnp.maximum(
+                jnp.maximum(nuc[0, 0] - nu_ref[np_ - 1, 0],
+                            nu_ref[0, 0] - nuc[0, SBL - 1]), 0.0)
+            y_min = jnp.min(yv)
+            s_min = gap * jnp.min(sxv) + y_min
+            wr = _wr_tile(x, y, s_min, y_min)
+            if has_chi:
+                wr = wr * jnp.exp(-chb_ref[0, :, sl] * jnp.maximum(
+                    jnp.abs(dnu) - CHI_DELTA1, 0.0))
+            if cutoff is not None:
+                wr = jnp.where(jnp.abs(dnu) <= cutoff, wr, 0.0)
+            out_ref[0, :, :] += jax.lax.dot_general(
+                amps_ref[0, :, sl], wr,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION,
+            )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_blocks", "tile_p", "block_l", "cutoff_cm1",
-                     "interpret"))
+                     "interpret", "sub_blocks"))
 def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts, active,
                              *, max_blocks, tile_p, block_l, cutoff_cm1,
-                             interpret):
+                             interpret, sub_blocks=1, chi=None):
     """nuc/sx/y: [B, Lp]; amps: [B, n_out, Lp]; nu2d: [Pp, 1]; active: [B]
     int32 (0 = state provably all-zero, skipped).  Returns [B, n_out, Pp]."""
     B, Lp = nuc.shape
@@ -395,6 +522,7 @@ def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts, active,
     Pp = nu2d.shape[0]
     n_tiles = Pp // tile_p
     n_blocks = Lp // block_l
+    has_chi = chi is not None
     grid = (B, n_tiles, int(max_blocks))
 
     def nu_map(b, i, j, nblk, st, act):
@@ -406,27 +534,36 @@ def _accumulate_batch_padded(nu2d, nuc, sx, y, amps, starts, counts, active,
         return (b, 0, jnp.where(act[b] != 0,
                                 jnp.minimum(st[i] + j, n_blocks - 1), 0))
 
+    in_specs = [
+        pl.BlockSpec((tile_p, 1), nu_map),
+        pl.BlockSpec((1, 1, block_l), line_map),
+        pl.BlockSpec((1, 1, block_l), line_map),
+        pl.BlockSpec((1, 1, block_l), line_map),
+    ]
+    ins = [nu2d, nuc.reshape(B, 1, Lp), sx.reshape(B, 1, Lp),
+           y.reshape(B, 1, Lp)]
+    if has_chi:
+        in_specs.append(pl.BlockSpec((1, 1, block_l), line_map))
+        ins.append(chi.reshape(B, 1, Lp))
+    in_specs.append(pl.BlockSpec((1, n_out, block_l), line_map))
+    ins.append(amps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_p, 1), nu_map),
-            pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, n_out, block_l), line_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_out, tile_p),
                                lambda b, i, j, *_: (b, 0, i)),
     )
-    kern = functools.partial(_batch_kernel, cutoff=cutoff_cm1, n_out=n_out)
+    kern = functools.partial(_batch_kernel, cutoff=cutoff_cm1,
+                             n_out=n_out, sub_blocks=sub_blocks,
+                             has_chi=has_chi)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, n_out, Pp), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=_cparams(2, 3),
         interpret=interpret,
-    )(counts, starts, active, nu2d, nuc.reshape(B, 1, Lp),
-      sx.reshape(B, 1, Lp), y.reshape(B, 1, Lp), amps)
+    )(counts, starts, active, *ins)
 
 
 def accumulate_pallas_batch(
@@ -442,9 +579,11 @@ def accumulate_pallas_batch(
     cutoff_cm1: Optional[float] = 25.0,
     shift_margin_cm1: float = 1.0,
     interpret: bool = False,
+    chi_b=None,
 ) -> jnp.ndarray:
     """Batched stage-2 accumulation: nu_c/scale_x/y [B, L], amps
-    [B, n_out, L] -> [B, n_out, P] float32.
+    [B, n_out, L] -> [B, n_out, P] float32.  ``chi_b`` [B, L]: optional
+    sub-Lorentzian wing slopes (ops.chi; 0/None = off).
 
     The block windows are computed ONCE from the host-known UNSHIFTED line
     centers ``nu0_host`` (sorted, C1), widened by ``shift_margin_cm1`` to
@@ -485,7 +624,9 @@ def accumulate_pallas_batch(
         nu2d, padl(nu_c, far), padl(scale_x, 1e6), padl(y, 1e6), amps_p,
         jnp.asarray(starts), jnp.asarray(counts), active,
         max_blocks=max_blocks, tile_p=tile_p, block_l=block_l,
-        cutoff_cm1=cutoff_cm1, interpret=interpret)
+        cutoff_cm1=cutoff_cm1, interpret=interpret,
+        sub_blocks=DEFAULT_SUB_BLOCKS,
+        chi=None if chi_b is None else padl(chi_b, 0.0))
     return out[:, :, :P]
 
 
@@ -494,7 +635,8 @@ def accumulate_pallas_batch_jit(nu_grid, nu_c, sx, y, amps, *,
                                 block_l: int = DEFAULT_BLOCK_L,
                                 cutoff_cm1: Optional[float] = 25.0,
                                 interpret: bool = False,
-                                windows=None) -> jnp.ndarray:
+                                windows=None,
+                                chi_b=None) -> jnp.ndarray:
     """Batched stage-2 accumulation, jit-composable (all inputs may be
     traced): nu_c/sx/y [B, L], amps [B, n_out, L] -> [B, n_out, P] float32.
 
@@ -531,7 +673,9 @@ def accumulate_pallas_batch_jit(nu_grid, nu_c, sx, y, amps, *,
         nu_pad.reshape(Pp, 1), padl(nu_c, far_line), padl(sx, 1e6),
         padl(y, 1e6), amps_p, starts, counts, active,
         max_blocks=int(max_blocks), tile_p=tile_p, block_l=block_l,
-        cutoff_cm1=cutoff_cm1, interpret=interpret)
+        cutoff_cm1=cutoff_cm1, interpret=interpret,
+        sub_blocks=DEFAULT_SUB_BLOCKS,
+        chi=None if chi_b is None else padl(chi_b, 0.0))
     return out[:, :, :P]
 
 
@@ -555,13 +699,14 @@ def accumulate_pallas_batch_jit(nu_grid, nu_c, sx, y, amps, *,
 
 
 def _basis_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
-                  c1_ref, c2_ref, c3_ref, c4_ref, out_ref,
-                  *, cutoff: Optional[float]):
+                  *rest, cutoff: Optional[float], has_chi: bool = False):
     """One (nu-tile, line-block) step of the fused basis contraction.
 
     nu_ref: [TILE_P, 1]; nuc/sx/y_ref: [1, BLOCK_L]; c*_ref: [R, BLOCK_L];
     out_ref: [R, TILE_P].
     """
+    chb_ref = rest[0] if has_chi else None
+    c1_ref, c2_ref, c3_ref, c4_ref, out_ref = rest[-5:]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -578,27 +723,43 @@ def _basis_kernel(nblk_ref, starts_ref, nu_ref, nuc_ref, sx_ref, y_ref,
         gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0] - nu_ref[np_ - 1, 0],
                                       nu_ref[0, 0] - nuc_ref[0, nuc_ref.shape[1] - 1]),
                           0.0)
-        s_min = gap * jnp.min(sx_ref[:, :]) + jnp.min(y_ref[:, :])
-        K, Kx, xKx, Ky = _basis_tile(x, y, s_min)
+        y_min = jnp.min(y_ref[:, :])
+        s_min = gap * jnp.min(sx_ref[:, :]) + y_min
+        K, Kx, xKx, Ky = _basis_tile(x, y, s_min, y_min)
+        if has_chi:
+            # Frozen-chi convention (ops/chi.py): chi scales all basis rows.
+            ch = jnp.exp(-chb_ref[:, :] * jnp.maximum(
+                jnp.abs(dnu) - CHI_DELTA1, 0.0))
+            K, Kx, xKx, Ky = K * ch, Kx * ch, xKx * ch, Ky * ch
         if cutoff is not None:
             m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
             K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
         dot = lambda C, B: jax.lax.dot_general(
             C, B, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        out_ref[:, :] += (dot(c1_ref[:, :], K) + dot(c2_ref[:, :], Kx)
-                          + dot(c3_ref[:, :], xKx) + dot(c4_ref[:, :], Ky))
+            precision=_MM_PRECISION)
+        if _MERGED_DOT:
+            out_ref[:, :] += dot(
+                jnp.concatenate([c1_ref[:, :], c2_ref[:, :], c3_ref[:, :],
+                                 c4_ref[:, :]], axis=1),
+                jnp.concatenate([K, Kx, xKx, Ky], axis=1))
+        else:
+            out_ref[:, :] += (dot(c1_ref[:, :], K) + dot(c2_ref[:, :], Kx)
+                              + dot(c3_ref[:, :], xKx) + dot(c4_ref[:, :], Ky))
 
 
 def _basis_batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref,
-                        sx_ref, y_ref, c1_ref, c2_ref, c3_ref, c4_ref,
-                        out_ref, *, cutoff: Optional[float]):
+                        sx_ref, y_ref, *rest, cutoff: Optional[float],
+                        sub_blocks: int = 1, has_chi: bool = False):
     """Batched fused basis contraction: one (ray x layer) state per leading
     grid dim.  nuc/sx/y_ref: [1, 1, BLOCK_L]; c*_ref: [1, R, BLOCK_L];
     out_ref: [1, R, TILE_P].  ``act_ref`` [B]: states whose coefficient
     rows are ALL zero contribute exactly 0 and are skipped (bit-exact; the
-    dead-limb-layer economics of :func:`_batch_kernel`)."""
+    dead-limb-layer economics of :func:`_batch_kernel`).  ``sub_blocks``:
+    statically unrolled dispatch sub-slices per DMA block (module note at
+    DEFAULT_SUB_BLOCKS)."""
+    chb_ref = rest[0] if has_chi else None
+    c1_ref, c2_ref, c3_ref, c4_ref, out_ref = rest[-5:]
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -609,32 +770,59 @@ def _basis_batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref,
 
     @pl.when(jnp.logical_and(j < nblk_ref[i], act_ref[b] != 0))
     def _accum():
-        dnu = nu_ref[:, :] - nuc_ref[0, :, :]
-        x = dnu * sx_ref[0, :, :]
-        y = jnp.broadcast_to(y_ref[0, :, :], x.shape)
         np_ = nu_ref.shape[0]
-        gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0, 0] - nu_ref[np_ - 1, 0],
-                                      nu_ref[0, 0] - nuc_ref[0, 0, nuc_ref.shape[2] - 1]),
-                          0.0)
-        s_min = gap * jnp.min(sx_ref[0, :, :]) + jnp.min(y_ref[0, :, :])
-        K, Kx, xKx, Ky = _basis_tile(x, y, s_min)
-        if cutoff is not None:
-            m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
-            K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
-        dot = lambda C, B: jax.lax.dot_general(
-            C, B, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        out_ref[0, :, :] += (dot(c1_ref[0, :, :], K) + dot(c2_ref[0, :, :], Kx)
-                             + dot(c3_ref[0, :, :], xKx)
-                             + dot(c4_ref[0, :, :], Ky))
+        BL = nuc_ref.shape[2]
+        SBL = BL // sub_blocks
+        for k in range(sub_blocks):
+            sl = slice(k * SBL, (k + 1) * SBL)
+            nuc = nuc_ref[0, :, sl]
+            sxv = sx_ref[0, :, sl]
+            yv = y_ref[0, :, sl]
+            dnu = nu_ref[:, :] - nuc
+            x = dnu * sxv
+            y = jnp.broadcast_to(yv, x.shape)
+            gap = jnp.maximum(
+                jnp.maximum(nuc[0, 0] - nu_ref[np_ - 1, 0],
+                            nu_ref[0, 0] - nuc[0, SBL - 1]), 0.0)
+            y_min = jnp.min(yv)
+            s_min = gap * jnp.min(sxv) + y_min
+            if _ABLATE == "novoigt":
+                K, Kx, xKx, Ky = x, x, x, x
+            else:
+                K, Kx, xKx, Ky = _basis_tile(x, y, s_min, y_min)
+            if has_chi:
+                # Frozen-chi: scales all basis rows (ops/chi.py).
+                ch = jnp.exp(-chb_ref[0, :, sl] * jnp.maximum(
+                    jnp.abs(dnu) - CHI_DELTA1, 0.0))
+                K, Kx, xKx, Ky = K * ch, Kx * ch, xKx * ch, Ky * ch
+            if cutoff is not None:
+                m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
+                K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
+            if _ABLATE == "nodot":
+                out_ref[0, :, :] += jnp.sum(K + Kx + xKx + Ky)
+                continue
+            dot = lambda C, B: jax.lax.dot_general(
+                C, B, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION)
+            if _MERGED_DOT:
+                out_ref[0, :, :] += dot(
+                    jnp.concatenate([c1_ref[0, :, sl], c2_ref[0, :, sl],
+                                     c3_ref[0, :, sl], c4_ref[0, :, sl]],
+                                    axis=1),
+                    jnp.concatenate([K, Kx, xKx, Ky], axis=1))
+            else:
+                out_ref[0, :, :] += (dot(c1_ref[0, :, sl], K)
+                                     + dot(c2_ref[0, :, sl], Kx)
+                                     + dot(c3_ref[0, :, sl], xKx)
+                                     + dot(c4_ref[0, :, sl], Ky))
 
 
 def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
                               *, tile_p: int = DEFAULT_TILE_P, block_l: int = DEFAULT_BLOCK_L,
                               cutoff_cm1: Optional[float] = 25.0,
                               interpret: bool = False,
-                              windows=None) -> jnp.ndarray:
+                              windows=None, chi_b=None) -> jnp.ndarray:
     """Fused basis contraction, jit-composable (single state).
 
     nu_c/sx/y: [L]; C1..C4: [R, L].  Returns [R, P] float32.  By default
@@ -673,30 +861,35 @@ def basis_contract_pallas_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
     def line_map(i, j, nblk, st):
         return (0, jnp.minimum(st[i] + j, n_blocks - 1))
 
+    has_chi = chi_b is not None
+    in_specs = [
+        pl.BlockSpec((tile_p, 1), lambda i, j, *_: (i, 0)),
+        pl.BlockSpec((1, block_l), line_map),
+        pl.BlockSpec((1, block_l), line_map),
+        pl.BlockSpec((1, block_l), line_map),
+    ]
+    ins = [nu_pad.reshape(Pp, 1), padl(nu_c, far_line).reshape(1, Lp),
+           padl(sx, 1e6).reshape(1, Lp), padl(y, 1e6).reshape(1, Lp)]
+    if has_chi:
+        in_specs.append(pl.BlockSpec((1, block_l), line_map))
+        ins.append(padl(chi_b, 0.0).reshape(1, Lp))
+    in_specs += [pl.BlockSpec((R, block_l), line_map)] * 4
+    ins += [padc(C1), padc(C2), padc(C3), padc(C4)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, int(max_blocks)),
-        in_specs=[
-            pl.BlockSpec((tile_p, 1), lambda i, j, *_: (i, 0)),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((R, block_l), line_map),
-            pl.BlockSpec((R, block_l), line_map),
-            pl.BlockSpec((R, block_l), line_map),
-            pl.BlockSpec((R, block_l), line_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((R, tile_p), lambda i, j, *_: (0, i)),
     )
-    kern = functools.partial(_basis_kernel, cutoff=cutoff_cm1)
+    kern = functools.partial(_basis_kernel, cutoff=cutoff_cm1,
+                             has_chi=has_chi)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((R, Pp), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=_cparams(1, 2),
         interpret=interpret,
-    )(counts, starts, nu_pad.reshape(Pp, 1),
-      padl(nu_c, far_line).reshape(1, Lp), padl(sx, 1e6).reshape(1, Lp),
-      padl(y, 1e6).reshape(1, Lp), padc(C1), padc(C2), padc(C3), padc(C4))
+    )(counts, starts, *ins)
     return out[:, :P]
 
 
@@ -706,7 +899,7 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
                                     cutoff_cm1: Optional[float] = 25.0,
                                     interpret: bool = False,
                                     windows=None,
-                                    active=None) -> jnp.ndarray:
+                                    active=None, chi_b=None) -> jnp.ndarray:
     """Batched fused basis contraction, jit-composable.
 
     nu_c/sx/y: [B, L]; C1..C4: [B, R, L].  Returns [B, R, P] float32.
@@ -752,30 +945,36 @@ def basis_contract_pallas_batch_jit(nu_grid, nu_c, sx, y, C1, C2, C3, C4,
         return (b, 0, jnp.where(act[b] != 0,
                                 jnp.minimum(st[i] + j, n_blocks - 1), 0))
 
+    has_chi = chi_b is not None
+    in_specs = [
+        pl.BlockSpec((tile_p, 1), lambda b, i, j, *_: (i, 0)),
+        pl.BlockSpec((1, 1, block_l), line_map),
+        pl.BlockSpec((1, 1, block_l), line_map),
+        pl.BlockSpec((1, 1, block_l), line_map),
+    ]
+    ins = [nu_pad.reshape(Pp, 1), padl(nu_c, far_line).reshape(B, 1, Lp),
+           padl(sx, 1e6).reshape(B, 1, Lp), padl(y, 1e6).reshape(B, 1, Lp)]
+    if has_chi:
+        in_specs.append(pl.BlockSpec((1, 1, block_l), line_map))
+        ins.append(padl(chi_b, 0.0).reshape(B, 1, Lp))
+    in_specs += [pl.BlockSpec((1, R, block_l), line_map)] * 4
+    ins += [padc(C1), padc(C2), padc(C3), padc(C4)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, n_tiles, int(max_blocks)),
-        in_specs=[
-            pl.BlockSpec((tile_p, 1), lambda b, i, j, *_: (i, 0)),
-            pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, 1, block_l), line_map),
-            pl.BlockSpec((1, R, block_l), line_map),
-            pl.BlockSpec((1, R, block_l), line_map),
-            pl.BlockSpec((1, R, block_l), line_map),
-            pl.BlockSpec((1, R, block_l), line_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, R, tile_p), lambda b, i, j, *_: (b, 0, i)),
     )
-    kern = functools.partial(_basis_batch_kernel, cutoff=cutoff_cm1)
+    kern = functools.partial(_basis_batch_kernel, cutoff=cutoff_cm1,
+                             sub_blocks=DEFAULT_SUB_BLOCKS,
+                             has_chi=has_chi)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, R, Pp), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=_cparams(2, 3),
         interpret=interpret,
-    )(counts, starts, active, nu_pad.reshape(Pp, 1),
-      padl(nu_c, far_line).reshape(B, 1, Lp), padl(sx, 1e6).reshape(B, 1, Lp),
-      padl(y, 1e6).reshape(B, 1, Lp), padc(C1), padc(C2), padc(C3), padc(C4))
+    )(counts, starts, active, *ins)
     return out[:, :, :P]
 
 
@@ -853,8 +1052,9 @@ def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
         gap = jnp.maximum(jnp.maximum(nuc_ref[0, 0] - nu_ref[np_ - 1, 0],
                                       nu_ref[0, 0] - nuc_ref[0, nuc_ref.shape[1] - 1]),
                           0.0)
-        s_min = gap * jnp.min(sx_ref[:, :]) + jnp.min(y_ref[:, :])
-        K, Kx, xKx, Ky = _basis_tile(x, y, s_min)
+        y_min = jnp.min(y_ref[:, :])
+        s_min = gap * jnp.min(sx_ref[:, :]) + y_min
+        K, Kx, xKx, Ky = _basis_tile(x, y, s_min, y_min)
         if cutoff is not None:
             m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
             K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
@@ -862,7 +1062,7 @@ def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
         dot = lambda B: jax.lax.dot_general(
             ct_ref[:, :], B, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_MM_PRECISION)
         oK_ref[:, :] += dot(K)
         oKx_ref[:, :] += dot(Kx)
         oxKx_ref[:, :] += dot(xKx)
@@ -933,6 +1133,7 @@ def basis_transpose_pallas_jit(nu_grid, nu_c, sx, y, ct,
         kern,
         out_shape=[shp, shp, shp, shp],
         grid_spec=grid_spec,
+        compiler_params=_cparams(1, 2),
         interpret=interpret,
     )(counts, starts, nu_pad.reshape(Pp, 1),
       padl(nu_c, far_line).reshape(1, Lp), padl(sx, 1e6).reshape(1, Lp),

@@ -126,7 +126,7 @@ def wofz_weideman_grad(x, y, n_terms: int = 32):
 # Humlicek w4 (branchless)
 # ---------------------------------------------------------------------------
 
-def wofz_humlicek4(x, y):
+def wofz_humlicek4(x, y, *, with_region4: bool = True):
     """Re and Im of w(x+iy) via Humlicek's (1982) w4 algorithm, branchless.
 
     Regions selected by s = |x| + y:
@@ -136,12 +136,19 @@ def wofz_humlicek4(x, y):
       IV : s < 5.5, y <  0.195|x|-0.176 — exp(t^2) minus 6th/7th rational
     All four formulas are evaluated on masked-safe inputs and combined with
     ``jnp.where`` — no data-dependent control flow (XLA/Pallas friendly).
+
+    ``with_region4=False`` (STATIC) skips region IV entirely — the only
+    branch with transcendentals (cexp) and the deepest polynomials.  Valid
+    (bit-identical to the full evaluator) when the caller PROVES no input
+    pair satisfies the region-IV condition; since that condition needs
+    y < 0.195|x| - 0.176 with |x| + y < 5.5, any block with
+    min(y) >= 0.195*5.5 - 0.176 = 0.8965 qualifies (the Pallas kernel's
+    block-level dispatch uses this with a 0.9 threshold for f32 slop).
     """
     t = (y, -x)              # t = y - i x
     s = jnp.abs(x) + y
     in12 = s >= 5.5
     in1 = s >= 15.0
-    in4 = jnp.logical_and(~in12, y < 0.195 * jnp.abs(x) - 0.176)
 
     # Region I: w = t * invsqrtpi / (0.5 + t^2)
     u = cpx.cmul(t, t)
@@ -158,11 +165,17 @@ def wofz_humlicek4(x, y):
     w3 = cpx.cmul(cpx.cpolyval_real_coeffs(_N3, t),
                   cpx.cinv(cpx.cpolyval_real_coeffs(_D3, t)))
 
+    if not with_region4:
+        wr = jnp.where(in1, w1[0], jnp.where(in12, w2[0], w3[0]))
+        wi = jnp.where(in1, w1[1], jnp.where(in12, w2[1], w3[1]))
+        return (wr, wi)
+
     # Region IV: w = exp(u) - t*P(u)/Q(u), u = t^2.  Humlicek's nested
     # alternating forms expanded to plain polynomials (_P4/_Q4, highest
     # degree first).  exp(u) = exp(y^2 - x^2) cis(-2xy) is bounded here
     # (region IV requires s < 5.5), but masked-out lanes are clamped to keep
     # them finite.
+    in4 = jnp.logical_and(~in12, y < 0.195 * jnp.abs(x) - 0.176)
     xr4 = jnp.where(in4, x, 0.0)
     yr4 = jnp.where(in4, y, 0.0)
     t4 = (yr4, -xr4)
@@ -191,7 +204,7 @@ def _poly_deriv(coeffs):
     return tuple(c * (n - 1 - j) for j, c in enumerate(coeffs[:-1]))
 
 
-def wofz_humlicek4_grad(x, y):
+def wofz_humlicek4_grad(x, y, *, with_region4: bool = True):
     """w(z) plus f32-stable partials of K = Re w, differentiating the
     Humlicek w4 approximant itself IN CLOSED FORM (region-consistent with
     :func:`wofz_humlicek4` — the derivative each region formula actually
@@ -224,7 +237,6 @@ def wofz_humlicek4_grad(x, y):
     s = jnp.abs(x) + y
     in12 = s >= 5.5
     in1 = s >= 15.0
-    in4 = jnp.logical_and(~in12, y < 0.195 * jnp.abs(x) - 0.176)
 
     u = cpx.cmul(t, t)
 
@@ -248,7 +260,15 @@ def wofz_humlicek4_grad(x, y):
                   cpx.cmul(w3, cpx.cmul(
                       cpx.cpolyval_real_coeffs(_poly_deriv(_D3), t), invD3)))
 
+    if not with_region4:
+        # See wofz_humlicek4: bit-identical to the full evaluator whenever
+        # the caller proves region IV is empty (min(y) >= 0.8965).
+        sel3 = lambda v1, v2, v3: jnp.where(in1, v1, jnp.where(in12, v2, v3))
+        return (sel3(w1[0], w2[0], w3[0]), sel3(w1[1], w2[1], w3[1]),
+                sel3(g1[1], g2[1], g3[1]), sel3(g1[0], g2[0], g3[0]))
+
     # Region IV (inputs clamped outside the region: exp overflows there).
+    in4 = jnp.logical_and(~in12, y < 0.195 * jnp.abs(x) - 0.176)
     xr4 = jnp.where(in4, x, 0.0)
     yr4 = jnp.where(in4, y, 0.0)
     t4 = (yr4, -xr4)

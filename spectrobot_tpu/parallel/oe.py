@@ -73,9 +73,21 @@ class ShardedOE:
         passed as jit arguments are auto-replicated onto the mesh, which
         keeps this correct in true multi-controller runs — a committed
         single-device jnp array would not span a multi-process mesh.
+
+        dtype note (round-4 review): float64 observations are KEPT f64 on
+        the host, but they only stay f64 through jit when the caller runs
+        with ``jax.config.update('jax_enable_x64', True)`` (the multihost
+        worker does); with x64 disabled JAX downcasts jit arguments to f32
+        at entry — enable x64 if the f64 normal-equations path matters.
         """
         dt = (np.float64 if np.asarray(y).dtype == np.float64
               else np.float32)
+        if dt == np.float64 and not jax.config.jax_enable_x64:
+            import warnings
+            warnings.warn(
+                "bind_observation received float64 observations but "
+                "jax_enable_x64 is off — jit will downcast them to "
+                "float32; enable x64 to keep the f64 path", stacklevel=2)
         self._y = np.asarray(y, dt)
         self._inv_se = np.asarray(
             1.0 / np.asarray(noise_sigma, np.float64) ** 2, dt)
@@ -112,6 +124,7 @@ def make_sharded_oe(
     T_surface=None,
     emissivity: float = 1.0,
     lut=None,
+    state_map=None,
 ) -> ShardedOE:
     """Build the sharded retrieval callables for a limb scene.
 
@@ -225,6 +238,12 @@ def make_sharded_oe(
 
     def model(x, *staged):
         state = unravel(x)
+        if state_map is not None:
+            # Coarse node->level expansion (retrieval.state.NodeBasis):
+            # applied BEFORE apply_state, replicated (tiny matmul), so the
+            # mesh collectives are untouched and Jacobian columns flow
+            # through the linear map automatically.
+            state = state_map(state)
         atm = apply_state(base_atm, state)
         if is_limb:
             cg = limb_path_cg(atm, species, tangent_heights_m, planet, n_sub)
@@ -290,12 +309,18 @@ def make_sharded_oe(
     fwd_jit = jax.jit(_forward)
     ne_jit = jax.jit(_normal_eqs)
     jac_jit = jax.jit(_jacobian)
-    # Host-level binding (np.asarray keeps x a host value, auto-replicated
-    # onto the mesh as a jit argument in multi-controller runs).
+
+    # Host-level binding: x must be a HOST value so it auto-replicates onto
+    # the mesh as a jit argument in multi-controller runs — but only convert
+    # when it is not already one (np.asarray on a committed device array
+    # forces a device->host transfer + sync per LM iteration; round-4
+    # review).  retrieve() passes numpy, so the common path is free.
+    def _host(x):
+        return x if isinstance(x, np.ndarray) else np.asarray(x)
+
     oe = ShardedOE(
-        forward_flat=lambda x: fwd_jit(np.asarray(x), *staged_args),
-        normal_eqs=lambda x, y, se: ne_jit(np.asarray(x), y, se,
-                                           *staged_args),
-        jacobian=lambda x: jac_jit(np.asarray(x), *staged_args),
+        forward_flat=lambda x: fwd_jit(_host(x), *staged_args),
+        normal_eqs=lambda x, y, se: ne_jit(_host(x), y, se, *staged_args),
+        jacobian=lambda x: jac_jit(_host(x), *staged_args),
         n_x=n_x, mesh=mesh, row_axes=row_axes)
     return oe

@@ -152,7 +152,21 @@ def retrieve(
     if checkpointer is not None:
         ck = checkpointer.latest()
         if ck is not None:
-            x = np.asarray(ck["x"], np.float64)
+            x_ck = np.asarray(ck["x"], np.float64)
+            if x_ck.shape != np.asarray(x0).shape:
+                # A checkpoint from a DIFFERENT retrieval configuration
+                # (state dimensionality changed — e.g. levels vs nodes, or
+                # a different species set).  Resuming it would crash deep
+                # inside unravel with a cryptic size error (found by the
+                # round-5 verify run against a stale round-4 checkpoint).
+                raise ValueError(
+                    f"checkpoint in {checkpointer.dir!r} carries "
+                    f"{x_ck.shape[0]} state parameters but this retrieval "
+                    f"has {np.asarray(x0).shape[0]} — the retrieval "
+                    f"configuration changed since it was written; delete "
+                    f"the checkpoint directory or point run.checkpoint_dir "
+                    f"elsewhere to start fresh")
+            x = x_ck
             lam = float(ck["lam"])
             start_iter = int(ck["iteration"]) + 1
             history = list(ck.get("history", []))

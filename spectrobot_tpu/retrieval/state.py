@@ -52,6 +52,103 @@ def apply_state(atm: Atmosphere, state: Dict) -> Atmosphere:
     return out  # (surface parameters are consumed by the forward, not atm)
 
 
+# ---------------------------------------------------------------------------
+# Coarse retrieval parameter basis (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+#
+# Reference-class OE codes retrieve on a coarse NODE grid mapped to model
+# levels (SpectRobot's bayes-set parameterisation [TK], SURVEY.md 1.2/3
+# C16): fewer, less degenerate parameters, cheaper Jacobians, priors on
+# physically meaningful scales.  TPU-native form: the node->level map is
+# ONE static matmul applied to the state pytree BEFORE apply_state, so
+# Jacobians flow through it automatically (jvp of a linear map is the map)
+# and the mesh path needs no new collectives (the expansion is replicated,
+# tiny work).
+
+
+def node_level_matrix(z_lev: "np.ndarray", z_nodes: "np.ndarray"):
+    """[n_lev, n_nodes] piecewise-linear interpolation matrix: profile at
+    the model levels = M @ profile at the retrieval nodes (hat-function
+    weights; constant extrapolation beyond the end nodes — exactly
+    np.interp semantics, as a matrix so it is differentiable/static)."""
+    import numpy as np
+    z_lev = np.asarray(z_lev, np.float64)
+    z_nodes = np.asarray(z_nodes, np.float64)
+    if z_nodes.ndim != 1 or len(z_nodes) < 2:
+        raise ValueError("need at least 2 retrieval nodes")
+    if not np.all(np.diff(z_nodes) > 0):
+        raise ValueError("retrieval node altitudes must be strictly "
+                         "increasing")
+    n_lev, n_nodes = len(z_lev), len(z_nodes)
+    M = np.zeros((n_lev, n_nodes))
+    j = np.clip(np.searchsorted(z_nodes, z_lev, side="right") - 1, 0,
+                n_nodes - 2)
+    t = (z_lev - z_nodes[j]) / (z_nodes[j + 1] - z_nodes[j])
+    t = np.clip(t, 0.0, 1.0)                     # constant extrapolation
+    M[np.arange(n_lev), j] = 1.0 - t
+    M[np.arange(n_lev), j + 1] += t
+    return M
+
+
+class NodeBasis:
+    """Linear node->level state map for coarse-grid retrieval.
+
+    ``expand(state)`` maps a node-space state pytree (profiles of length
+    n_nodes) to the level-space pytree the forward consumes; scalar blocks
+    (T_surface) pass through.  Compose as ``forward(expand(state))`` — or
+    pass ``state_map=nb.expand`` to parallel.oe.make_sharded_oe.
+    """
+
+    def __init__(self, z_lev, z_nodes):
+        import numpy as np
+        self.z_lev = np.asarray(z_lev, np.float64)
+        self.z_nodes = np.asarray(z_nodes, np.float64)
+        # Host float64 master copy; cast per state dtype at expand time (a
+        # baked f32 copy would silently degrade float64 retrievals).
+        self.M = node_level_matrix(self.z_lev, self.z_nodes)
+        self.n_nodes = int(self.M.shape[1])
+
+    @classmethod
+    def uniform(cls, atm: Atmosphere, n_nodes: int) -> "NodeBasis":
+        import numpy as np
+        z = np.asarray(atm.z, np.float64)
+        return cls(z, np.linspace(z[0], z[-1], int(n_nodes)))
+
+    def init_state(self, atm: Atmosphere, retrieve_vmr: Sequence[str],
+                   T_surface: Optional[float] = None,
+                   retrieve_temperature: bool = True) -> Dict:
+        """Node-space initial state: the atmosphere's profiles sampled at
+        the node altitudes (the node analog of :func:`make_state`)."""
+        state: Dict = {
+            "ln_vmr": {s: self.project(jnp.log(atm.vmr[s]))
+                       for s in retrieve_vmr},
+        }
+        if retrieve_temperature:
+            state["T"] = self.project(atm.T)
+        if T_surface is not None:
+            state["T_surface"] = jnp.asarray(T_surface, atm.T.dtype)
+        return state
+
+    def project(self, profile_lev) -> jnp.ndarray:
+        """Level profile -> node values (sampled at node altitudes)."""
+        import numpy as np
+        return jnp.asarray(
+            np.interp(self.z_nodes, self.z_lev,
+                      np.asarray(profile_lev, np.float64)),
+            jnp.result_type(profile_lev))
+
+    def expand(self, state: Dict) -> Dict:
+        def up(v):
+            return jnp.asarray(self.M, v.dtype) @ v
+        out: Dict = {"ln_vmr": {s: up(v)
+                                for s, v in state["ln_vmr"].items()}}
+        if "T" in state:
+            out["T"] = up(state["T"])
+        if "T_surface" in state:
+            out["T_surface"] = state["T_surface"]
+        return out
+
+
 def build_forward(
     base_atm: Atmosphere,
     lines: DeviceLines,
@@ -75,6 +172,7 @@ def build_forward(
     engine: str = "jnp",
     interpret: bool = False,  # engine='pallas' on CPU (tests)
     cia=None,  # ops.cia.DeviceCIA: additive continuum (differentiable)
+    chi=None,  # (ops.chi.ChiProfile, row_mask tuple): wing correction
 ) -> Callable[[Dict], jnp.ndarray]:
     """Build F: state -> y.
 
@@ -87,7 +185,7 @@ def build_forward(
     """
     kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
               analytic_jvp=analytic_jvp, nu_off=nu_off, engine=engine,
-              interpret=interpret, cia=cia)
+              interpret=interpret, cia=cia, chi=chi)
 
     def forward(state: Dict) -> jnp.ndarray:
         atm = apply_state(base_atm, state)

@@ -702,6 +702,33 @@ def test_cli_mesh_halo_too_narrow_fails_loudly(tmp_path):
         assert key in msg, f"error must name {key}: {msg}"
 
 
+def test_cli_mesh_divisibility_fails_loudly(tmp_path):
+    """TOML-reachable mesh divisibility violations must raise ValueError
+    naming the config keys (VERDICT r4 weak item 2) — one standard with the
+    halo guard — from every mesh subcommand branch."""
+    from spectrobot_tpu.cli import main
+    c = tmp_path / "div.toml"
+    c.write_text(_TINY + f"[run]\noutput_dir = \"{tmp_path}/dv\"\n")
+    # 2 rays on a 3-way ray mesh (plain mesh branch).
+    with pytest.raises(ValueError) as exc:
+        main(["forward", str(c), "-o", "compute.mesh_ray=3"])
+    assert "compute.mesh_ray" in str(exc.value)
+    assert "AssertionError" not in type(exc.value).__name__
+    # 160 points on a 7-way nu mesh (forward + retrieve mesh branches).
+    with pytest.raises(ValueError) as exc:
+        main(["forward", str(c), "-o", "compute.mesh_nu=7"])
+    assert "compute.mesh_nu" in str(exc.value)
+    assert "grid.n_points" in str(exc.value)
+    with pytest.raises(ValueError) as exc:
+        main(["retrieve", str(c), "-o", "compute.mesh_nu=7"])
+    assert "compute.mesh_nu" in str(exc.value)
+    # LUT x mesh branch consults the same guard.
+    with pytest.raises(ValueError) as exc:
+        main(["forward", str(c), "-o", "compute.mesh_nu=7",
+              "-o", "compute.use_lut=true"])
+    assert "compute.mesh_nu" in str(exc.value)
+
+
 def test_cli_forward_emits_spectrum_family(tmp_path, capsys):
     """forward.npz is written through the Spectrum family (VERDICT r3 weak
     item 5): loads as a Spectrum with kind/units metadata, and the spectral
@@ -760,6 +787,13 @@ def test_cli_retrieve_resumes_from_checkpoint(tmp_path, capsys):
     iters = [json.loads(l)["iteration"]
              for l in open(f"{out}/run.jsonl") if "iteration" in l]
     assert max(iters) >= 2 and 0 in iters
+
+    # A checkpoint from a DIFFERENT retrieval configuration must refuse to
+    # resume with a loud ValueError naming the fix, not crash deep inside
+    # unravel (round-5 verify found exactly this against a stale
+    # checkpoint when retrieval.n_nodes changed the state size).
+    with pytest.raises(ValueError, match="checkpoint"):
+        main(["retrieve", str(c), "-o", "retrieval.n_nodes=3"])
 
 
 def test_cli_forward_save_optics(tmp_path, capsys):
@@ -822,3 +856,13 @@ def test_cli_retrieve_outputs_fitted_spectrum(tmp_path, capsys):
     resid = (y_obs - y_fit) / noise
     assert np.sqrt(np.mean(resid ** 2)) < 2.0      # at the noise floor
     assert os.path.exists(f"{tmp_path}/fit/fit.png")
+    # Both CLI outputs speak the Spectrum format (VERDICT r4 weak item 6):
+    # retrieval.npz loads as a radiance Spectrum whose axis is the channel
+    # grid and whose values are the fitted spectrum.
+    from spectrobot_tpu.spectra import Spectrum
+    sp = Spectrum.load_npz(f"{tmp_path}/fit/retrieval.npz")
+    assert sp.kind == "radiance"
+    np.testing.assert_allclose(np.asarray(sp.nu), chans)
+    np.testing.assert_allclose(np.asarray(sp.values), y_fit)
+    with np.load(f"{tmp_path}/fit/retrieval.npz") as z:
+        assert str(z["units"])  # units metadata present, forward.npz-style

@@ -86,7 +86,8 @@ def test_fused_halo_accumulate_matches_single_device(n_shards):
                                     nu_ref=0.0)
     kl = line_kernel_inputs(dl, 210.0, 120.0, 40.0,
                             amp_weights=jnp.ones((2, dl.n_lines)))
-    kl32 = KernelLines(*[a.astype(jnp.float32) for a in kl])
+    kl32 = KernelLines(*[None if a is None else a.astype(jnp.float32)
+                         for a in kl])
     nu = np.linspace(600.0, 700.0, 1024)
     nu32 = jnp.asarray(nu, jnp.float32)
     cutoff = 10.0

@@ -113,7 +113,8 @@ def test_halo_per_shard_origins_f32_wide_band():
     got32 = np.asarray(f(nu_reb32, skl32), np.float64)
 
     # Global-origin f32 for comparison: absolute coordinates, same pipeline.
-    kl32 = KernelLines(*[a.astype(jnp.float32) for a in kl])
+    kl32 = KernelLines(*[None if a is None else a.astype(jnp.float32)
+                         for a in kl])
     skl_g = partition_kernel_lines(kl32, np.asarray(dl.nu0), edges)
     f_g = halo_accumulate_fn(mesh, chunk=128, cutoff_cm1=cutoff)
     got_g = np.asarray(f_g(nu.astype(jnp.float32), skl_g), np.float64)
@@ -135,7 +136,8 @@ def test_halo_pallas_matches_single_device(n_shards):
     # The kernel computes in f32; its parity target is the f32 jnp path
     # (absolute-coordinate f32 dnu precision is a separate, known effect —
     # see the DeviceLines nu_ref docstring and test_f32_rebasing.py).
-    kl32 = KernelLines(*[a.astype(jnp.float32) for a in kl])
+    kl32 = KernelLines(*[None if a is None else a.astype(jnp.float32)
+                         for a in kl])
     nu32 = nu.astype(jnp.float32)
     ref = np.asarray(accumulate_jnp(nu32, kl32, chunk=128, cutoff_cm1=cutoff))
 

@@ -135,7 +135,10 @@ def test_static_windows_bit_parity():
     from spectrobot_tpu.data.synth import random_lines
     from spectrobot_tpu.ops.strengths import device_lines_from_linelist
 
-    ll = random_lines(700, 600.0, 750.0, seed=5)
+    # Enough lines that even the 256-line default blocks leave something to
+    # skip (round-5 geometry: DEFAULT_BLOCK_L=256 with 2 dispatch
+    # sub-blocks per DMA block).
+    ll = random_lines(1400, 600.0, 750.0, seed=5)
     dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32,
                                     nu_ref=0.0)
     kl = line_kernel_inputs(dl, 220.0, 300.0, 100.0,
@@ -144,9 +147,9 @@ def test_static_windows_bit_parity():
     nu = jnp.asarray(np.linspace(600.0, 750.0, 2048), jnp.float32)
     win = static_windows(np.asarray(nu), np.asarray(dl.nu0),
                          cutoff_cm1=25.0)
-    n_blocks = -(-700 // DEFAULT_BLOCK_L)
-    # STRICT skipping: with 128-line blocks and a 25 cm^-1 cutoff over a
-    # 150 cm^-1 span, every tile's window must be well below all-blocks
+    n_blocks = -(-1400 // DEFAULT_BLOCK_L)
+    # STRICT skipping: with default-size blocks and a 25 cm^-1 cutoff over
+    # a 150 cm^-1 span, every tile's window must be well below all-blocks
     # (the old `< n_blocks + 1` form was vacuous — max(counts) can never
     # exceed n_blocks; round-3 ADVICE item 2).
     assert win[2] < n_blocks, (win[2], n_blocks)
