@@ -68,11 +68,16 @@ BASELINE_FUSED_S = 1.62
 # (round-3 ADVICE item 1): a chained-dispatch measurement must be gated
 # against a chained-dispatch baseline.
 GATE_LIMB_SCAN_S = 0.30  # round-4 gather-free RT 0.197 s + ~50% margin
-GATE_FUSED_S = 0.60  # round-4 gather-free RT 0.450 s + ~33% margin
+# Round 5: dispatch sub-blocking brought the fused scenario to 0.438 s,
+# and the roofline metric shows the kernel's Voigt evaluation at ~the
+# measured VPU elementwise ceiling (bench_roofline) — i.e. the remaining
+# time is genuine compute, not scheduling headroom — so the gate tightens
+# to 0.55 (0.438 + ~25% tunnel-variance margin).
+GATE_FUSED_S = 0.55
 # Regression FLOOR for the kernel gate (VERDICT r3 weak item 7): the 1e9
 # target alone would let a 10-40x kernel regression pass silently; half
-# the round-3 measurement actually guards the achieved level.
-GATE_KERNEL_FLOOR = 2.0e10
+# the round-5 measurement (4.4e10) actually guards the achieved level.
+GATE_KERNEL_FLOOR = 2.2e10
 # Mesh-composition overhead gate: sharded+pallas on one chip must stay
 # within 10 % of the plain single-device kernel path (round 3: 1.00x).
 GATE_MESH_OVERHEAD_MIN = 0.90
@@ -401,23 +406,29 @@ def bench_roofline(on_tpu: bool, kernel_rate: float) -> None:
     mix = _dense_tier_mix(nu, np.asarray(kl.nu_c, np.float32),
                           float(jnp.min(kl.scale_x)), float(jnp.min(kl.y)),
                           256, 256, DEFAULT_SUB_BLOCKS)
-    flops_per_pair = sum(TIER_FLOPS[t] * f for t, f in mix.items())
+    # +4 per-pair pipeline ops every tier pays before the rational (dnu,
+    # x = dnu*sx, y broadcast, cutoff/window select).
+    flops_per_pair = 4.0 + sum(TIER_FLOPS[t] * f for t, f in mix.items())
     kernel_gflops = kernel_rate * flops_per_pair / 1e9
     pct = 100.0 * kernel_gflops * 1e9 / vpu_peak
     print(f"kernel roofline: {flops_per_pair:.0f} flops/pair "
           f"(mix far {mix['far']:.2f} mid {mix['mid']:.2f} "
           f"near3 {mix['near3']:.2f} near4 {mix['near4']:.2f}) -> "
-          f"{kernel_gflops:.0f} GFLOP/s = {pct:.0f}% of the measured VPU "
-          f"peak (excl. MXU reduction + DMA/grid overhead the same pass "
-          f"also pays)", file=sys.stderr)
+          f"{kernel_gflops:.0f} GFLOP/s ~= {pct:.0f}% of the measured "
+          f"elementwise ceiling; the SAME pass also runs the MXU "
+          f"reduction + DMA/grid machinery, so a ratio near 1 means the "
+          f"Voigt evaluation is VPU-ISSUE-BOUND (the flop audit carries "
+          f"~+-20% — compiler CSE can emit fewer ops than the source "
+          f"count)", file=sys.stderr)
     print(json.dumps({
         "metric": "kernel_roofline_pct_of_vpu_peak",
         "value": pct,
-        "unit": (f"% of measured VPU f32 FMA peak "
-                 f"({vpu_peak / 1e9:.0f} GFLOP/s); flop audit "
-                 f"{flops_per_pair:.0f}/pair, tier mix "
+        "unit": (f"% of the measured VPU f32 mul-add ceiling "
+                 f"({vpu_peak / 1e9:.0f} GFLOP/s, same-chip FMA chain); "
+                 f"flop audit {flops_per_pair:.0f}/pair (+-20%), tier mix "
                  f"far/mid/near3/near4 = {mix['far']:.2f}/{mix['mid']:.2f}/"
-                 f"{mix['near3']:.2f}/{mix['near4']:.2f}"),
+                 f"{mix['near3']:.2f}/{mix['near4']:.2f}; ~1.0 means "
+                 f"VPU-issue-bound"),
         "vs_baseline": pct / 100.0,
     }))
 

@@ -17,7 +17,7 @@ Asserted thresholds (BASELINE.md + VERDICT.md rounds 1-3):
     the round-4 engine policy and gather-free RT epilogue cut this metric
     0.509 -> 0.197 s);
   * fused-basis Pallas scenario (2048 lines, same scene): forward + full
-    32-column Jacobian device time <= bench.GATE_FUSED_S (0.60 s =
+    32-column Jacobian device time <= bench.GATE_FUSED_S (0.55 s =
     round-4 measured 0.450 s + margin), and Jacobian <= 8x one forward.  The ratio
     bound is a SANITY check on the fused path, not a target: a broken
     fusion (per-column basis re-evaluation) costs ~32x one forward; the

@@ -185,11 +185,22 @@ def cia_dtau(cia: DeviceCIA, cg: PathCG) -> jnp.ndarray:
     i0 = jnp.floor(f).astype(jnp.int32)
     a = (f - i0)[..., None]                            # [R, NL, 1]
 
-    u_air = jnp.maximum(cg.u_air, 1.0)                 # empty layers -> x=0
+    # Mole fractions from PRE-SCALED columns: the division JVP squares the
+    # denominator, and SI columns (~1e24 /m^2) square past f32 inf — the
+    # same hazard the CG averages guard with 2^-83 prescaling
+    # (forward/geometry.py).  The exact power of two leaves the ratio
+    # bit-identical while keeping the tangent's u_air^2 in normal range
+    # (found by the round-5 composed-matrix mesh test: every active
+    # layer's CIA temperature-Jacobian entry came out NaN in f32).
+    # The empty-layer clamp must ALSO square safely: 2^-40 is far below any
+    # real scaled column (~1e-4..10) yet (2^-40)^2 = 2^-80 stays normal in
+    # f32, so empty layers give exactly 0/clamp = 0 with 0 tangents.
+    CG_SCALE = 2.0 ** -83
+    u_air = jnp.maximum(cg.u_air * CG_SCALE, 2.0 ** -40)  # empty -> x = 0
     dtau = 0.0
     for j in range(cia.n_pairs):
-        x_a = cg.u[..., cia.pair_a[j]] / u_air         # [R, NL]
-        x_b = cg.u[..., cia.pair_b[j]] / u_air
+        x_a = cg.u[..., cia.pair_a[j]] * CG_SCALE / u_air     # [R, NL]
+        x_b = cg.u[..., cia.pair_b[j]] * CG_SCALE / u_air
         w = (x_a * x_b * cg.uu_air)[..., None]         # [R, NL, 1]
         k0 = cia.tables[j][i0]                         # [R, NL, P]
         k1 = cia.tables[j][i0 + 1]
