@@ -269,7 +269,7 @@ def _build_fov(cfg, dtype):
     return jnp.asarray(h_fine_km * 1e3, dtype), V
 
 
-def _get_lut(cfg, nu, dl, species_names, atm, nlte):
+def _get_lut(cfg, nu, dl, species_names, atm, nlte, chi=None):
     """Build or load the (P, T) LUT for the configured scene (shared by
     forward and retrieve — VERDICT.md round-2 item 4: ``compute.use_lut``
     must be honoured in BOTH).  Returns (lut, source_description)."""
@@ -286,7 +286,8 @@ def _get_lut(cfg, nu, dl, species_names, atm, nlte):
         p_min=max(float(p_arr.min()) * 0.5, 1e-6),
         p_max=float(p_arr.max()) * 2.0, n_p=cfg.compute.lut_n_p,
         variant=cfg.compute.variant,
-        cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk)
+        cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
+        chi=chi)
     mesh = lut_mesh() if cfg.compute.lut_build_mesh else None
     lut, cached = get_or_build_lut(
         cfg.compute.lut_path, nu, dl, len(species_names),
@@ -317,11 +318,6 @@ def cmd_forward(cfg) -> dict:
     use_mesh, mesh_shape = _mesh_plan(cfg)
     m_ray, m_line, m_nu = mesh_shape
     chi = _build_chi(cfg, species_names)
-    if chi is not None and (use_mesh or cfg.compute.use_lut):
-        raise ValueError(
-            "lines.chi currently applies to the single-device line-by-line "
-            "paths only — disable compute.mesh_* and compute.use_lut, or "
-            "drop lines.chi")
     if cfg.run.save_optics and (use_mesh or cfg.compute.use_lut):
         # The optics tap rides the single-device line-by-line branch (it
         # reuses that branch's raw depths); refuse loudly rather than
@@ -341,7 +337,7 @@ def cmd_forward(cfg) -> dict:
         n_rays = int(h_t.shape[0]) if is_limb else int(sec.shape[0])
         _check_mesh_divisibility(cfg, n_rays, m_ray, m_nu)
         mesh = make_mesh(mesh_shape)
-        lut, src = _get_lut(cfg, nu, dl, species_names, atm, nlte)
+        lut, src = _get_lut(cfg, nu, dl, species_names, atm, nlte, chi=chi)
         if is_limb:
             cg = limb_path_cg(atm, species_names, h_t, planet,
                               cfg.geometry.n_sub)
@@ -387,7 +383,7 @@ def cmd_forward(cfg) -> dict:
                                 variant=cfg.compute.variant,
                                 cutoff_cm1=cfg.compute.cutoff_cm1,
                                 chunk=cfg.compute.chunk, engine=engine,
-                                nu_halo=cfg.compute.mesh_halo,
+                                nu_halo=cfg.compute.mesh_halo, chi=chi,
                                 cia_pairs=(None if cia is None else
                                            (cia.pair_a, cia.pair_b)),
                                 is_limb=is_limb, emissivity=emis,
@@ -410,7 +406,7 @@ def cmd_forward(cfg) -> dict:
         # the per-level-group tier (ops/lut.py NLTELUT).
         from spectrobot_tpu.forward.limb import radiance_from_tau
         from spectrobot_tpu.ops.lut import layer_tau_lut, layer_tau_nlte_lut
-        lut, src = _get_lut(cfg, nu, dl, species_names, atm, nlte)
+        lut, src = _get_lut(cfg, nu, dl, species_names, atm, nlte, chi=chi)
         if is_limb:
             cg = limb_path_cg(atm, species_names, h_t, planet,
                               cfg.geometry.n_sub)
@@ -632,11 +628,6 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
     x0, unravel = flatten_state(state0)
 
     use_mesh, mesh_shape = _mesh_plan(cfg)
-    if chi is not None and (use_mesh or cfg.compute.use_lut):
-        raise ValueError(
-            "lines.chi currently applies to the single-device line-by-line "
-            "paths only — disable compute.mesh_* and compute.use_lut, or "
-            "drop lines.chi")
     oe_sharded = None
     if use_mesh:
         # Distributed retrieval (C26 + C16, parallel/oe.py): sharded forward,
@@ -652,11 +643,11 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
         if cfg.compute.use_lut:
             # LUT x mesh retrieval: tables shard over 'nu'; each LM
             # iteration costs bilinear lookups, not line sums.
-            lut, lut_src = _get_lut(cfg, nu, dl, species_names, atm, nlte)
+            lut, lut_src = _get_lut(cfg, nu, dl, species_names, atm, nlte, chi=chi)
         oe_sharded = make_sharded_oe(
             mesh, atm, dl, nu, species_names, planet, h_t,
             state_template=state0, ils_W=W, fov_V=fov_V, nlte=nlte,
-            state_map=(nb.expand if nb is not None else None),
+            state_map=(nb.expand if nb is not None else None), chi=chi,
             n_sub=cfg.geometry.n_sub, variant=cfg.compute.variant,
             cutoff_cm1=cfg.compute.cutoff_cm1, chunk=cfg.compute.chunk,
             nu_off=nu_off, engine=engine, nu_halo=cfg.compute.mesh_halo,
@@ -675,7 +666,7 @@ def cmd_retrieve(cfg, y_obs: Optional[np.ndarray] = None) -> dict:
         # 4.3; the bilinear interpolation is differentiable so jacfwd works
         # unchanged).  The table is built ONCE outside the LM loop.
         from spectrobot_tpu.retrieval.state import build_forward_lut
-        lut, src = _get_lut(cfg, nu, dl, species_names, atm, nlte)
+        lut, src = _get_lut(cfg, nu, dl, species_names, atm, nlte, chi=chi)
         fwd = build_forward_lut(
             atm, lut, species_names, planet, tangent_heights_m=h_t,
             sec_theta=sec, T_surface=cfg.geometry.t_surface,

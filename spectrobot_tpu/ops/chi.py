@@ -21,10 +21,17 @@ per-line array (0 = chi off for that line, exactly 1.0), so per-species
 masking costs nothing and the T dependence is exact per state.
 
 Jacobian convention (documented limitation): the analytic basis tangent
-treats chi as CONSTANT — exact for amplitude/width/y tangents (chi scales
-all four basis rows), and drops only the d(chi)/d(nu_c) term, which is
+AND the custom-VJP transpose treat chi as CONSTANT (frozen-chi) — exact
+for amplitude/width/y derivatives (chi scales all four basis rows), and
+drops only the d(chi)/d(nu_c) and d(chi)/dT-through-b terms, which are
 O(b/scale_x) ~ 1e-4 of the retained line-position term (b ~ 0.01-0.09
-per cm^-1 vs scale_x ~ 1e3 per cm^-1).
+per cm^-1 vs scale_x ~ 1e3 per cm^-1).  The LUT tier is the exception:
+chi bakes into the table, so its T dependence differentiates EXACTLY
+through the table interpolation.
+
+Coverage: both engines (jnp scan + all Pallas kernels incl. the fused
+basis and its transpose), the mesh bodies (owner + halo hops), the LUT
+build, and the CLI (`lines.chi`).
 
 Coefficients for "co2_mars": the first-segment slope of the Perrin &
 Hartmann (1989, JQSRT 42, 311) CO2-CO2 chi factor,

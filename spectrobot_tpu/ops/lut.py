@@ -130,11 +130,14 @@ def build_lut(
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
     mesh: Optional[jax.sharding.Mesh] = None,
+    chi=None,
 ) -> OpacityLUT:
     """Build the table with the direct line-sum machinery (jit-batched over
     the (T, p) lattice; species separated by masking amplitudes).  Pass
     ``mesh`` (e.g. :func:`lut_mesh`) to shard the lattice build over
-    devices."""
+    devices.  ``chi`` (ops/chi.py) BAKES the sub-Lorentzian wing
+    correction into the table: the slope b(T) rides the lattice T axis,
+    so the runtime interpolation inherits it with no extra cost."""
     S = n_species
     vs = np.ones(S) if vmr_self is None else np.asarray(vmr_self, dtype=float)
     T_grid = jnp.linspace(T_min, T_max, n_T)
@@ -149,7 +152,7 @@ def build_lut(
             sa, _ = cross_sections(
                 nu_grid, lines, T, p, p_self_pa=float(vs[s]) * p,
                 w_abs=mask, w_em=mask, chunk=chunk, variant=variant,
-                cutoff_cm1=cutoff_cm1, analytic_jvp=False)
+                cutoff_cm1=cutoff_cm1, analytic_jvp=False, chi=chi)
             outs.append(sa)
         return jnp.stack(outs)                    # [S, P]
 
@@ -323,6 +326,7 @@ def build_nlte_lut(
     cutoff_cm1: Optional[float] = 25.0,
     chunk: int = 256,
     mesh: Optional[jax.sharding.Mesh] = None,
+    chi=None,
 ) -> NLTELUT:
     """Build the three per-group tables in ONE line sum per lattice point:
     the Voigt basis is shared across all 3G amplitude rows (an MXU
@@ -355,7 +359,7 @@ def build_nlte_lut(
         w = jnp.concatenate([mask_l * inv1mE[None, :],
                              mask_u * (E * inv1mE)[None, :],
                              mask_u], axis=0)
-        kl = line_kernel_inputs(lines, T, p, vs_line * p, w)
+        kl = line_kernel_inputs(lines, T, p, vs_line * p, w, chi=chi)
         out = accumulate_jnp(nu_off, kl, chunk=chunk, variant=variant,
                              cutoff_cm1=cutoff_cm1)        # [3G, P]
         return out.reshape(3, G, -1)

@@ -700,11 +700,6 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
             f"{variant!r} so primal and tangent share one evaluator")
     if mode not in ("fwd", "rev"):
         raise ValueError(f"mode must be 'fwd' or 'rev', got {mode!r}")
-    if has_chi and mode == "rev":
-        raise NotImplementedError(
-            "the chi wing-correction hook currently supports forward-mode "
-            "AD only (analytic_jvp='fwd'); the custom-VJP transpose does "
-            "not yet carry the chi factor")
 
     # Ragged kernel windows: (starts, counts) flow as ARGUMENTS through the
     # custom_jvp/custom_vmap boundaries (those stage their functions, so
@@ -737,23 +732,24 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                 "closes over them); pass windows=None inside shard_map "
                 "bodies or run the rev op outside the mesh")
         @jax.custom_vjp
-        def acc(nu_grid, nu_c, sx, y, amps):
-            return _primal(nu_grid, nu_c, sx, y, jnp.zeros_like(y), amps,
-                           _wst, _wct)
+        def acc(nu_grid, nu_c, sx, y, chb, amps):
+            return _primal(nu_grid, nu_c, sx, y, chb, amps, _wst, _wct)
 
-        def acc_fwd(nu_grid, nu_c, sx, y, amps):
-            return (_primal(nu_grid, nu_c, sx, y, jnp.zeros_like(y), amps,
-                            _wst, _wct),
-                    (nu_grid, nu_c, sx, y, amps))
+        def acc_fwd(nu_grid, nu_c, sx, y, chb, amps):
+            return (_primal(nu_grid, nu_c, sx, y, chb, amps, _wst, _wct),
+                    (nu_grid, nu_c, sx, y, chb, amps))
 
         def acc_bwd(res, ct):
-            nu_grid, nu_c, sx, y, amps = res
+            # Frozen-chi convention in reverse mode too (ops/chi.py): chi
+            # scales all four basis projections; its own cotangent is 0.
+            nu_grid, nu_c, sx, y, chb, amps = res
             if engine == "pallas":
                 from spectrobot_tpu.ops.pallas_opacity import (
                     basis_transpose_pallas_jit)
                 AbK, AbKx, AbxKx, AbKy = basis_transpose_pallas_jit(
                     nu_grid, nu_c, sx, y, ct, cutoff_cm1=cutoff_cm1,
-                    interpret=interpret, windows_T=windows_T)
+                    interpret=interpret, windows_T=windows_T,
+                    chi_b=chb if has_chi else None)
                 dt = jnp.result_type(nu_grid)
                 so = lambda M: jnp.sum(M.astype(dt) * amps, axis=0)
                 ct_amps = AbK.astype(dt)
@@ -762,11 +758,19 @@ def make_accumulate_op(*, chunk: int = 256, variant: str = "humlicek4",
                 ct_y = so(AbKy)
             else:
                 ct_nc, ct_sx, ct_y, ct_amps = _tangent_transpose(
-                    nu_grid, nu_c, sx, y, amps, ct, **kw)
-            return (jnp.zeros_like(nu_grid), ct_nc, ct_sx, ct_y, ct_amps)
+                    nu_grid, nu_c, sx, y, amps, ct,
+                    chb if has_chi else None, **kw)
+            return (jnp.zeros_like(nu_grid), ct_nc, ct_sx, ct_y,
+                    jnp.zeros_like(chb), ct_amps)
 
         acc.defvjp(acc_fwd, acc_bwd)
-        return acc
+
+        def acc_pub_rev(nu_grid, nu_c, sx, y, amps, chb=None):
+            if chb is None:
+                chb = jnp.zeros_like(y)
+            return acc(nu_grid, nu_c, sx, y, chb, amps)
+
+        return acc_pub_rev
 
     tangent_pallas = (_make_tangent_pallas(
         cutoff_cm1=cutoff_cm1, interpret=interpret, max_blocks=mb,
@@ -837,10 +841,12 @@ def cross_sections(
     cutoff_cm1: Optional[float] = 25.0,
     analytic_jvp: bool = True,
     nu_off: Optional[jnp.ndarray] = None,
+    chi=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Absorption & emission cross sections [cm^2/molec] for one homogeneous
     state — thin wrapper over the two-stage API (kept as the stable public
-    interface; SURVEY.md C6).
+    interface; SURVEY.md C6).  ``chi`` = (ops.chi.ChiProfile, row_mask):
+    the sub-Lorentzian wing correction (ops/chi.py).
 
     analytic_jvp=True/'fwd' (default) routes through the shared-basis
     analytic JVP op (forward-mode AD: jacfwd/jvp); 'rev' through the
@@ -855,15 +861,19 @@ def cross_sections(
     wa = ones if w_abs is None else w_abs
     we = ones if w_em is None else w_em
     kl = line_kernel_inputs(lines, T, p_pa, p_self_pa,
-                            amp_weights=jnp.stack([wa, we]))
+                            amp_weights=jnp.stack([wa, we]), chi=chi)
     # Offset coordinates for the dnu computation (see DeviceLines docstring).
     if nu_off is None:
         nu_off = nu_grid - lines.nu_ref.astype(nu_grid.dtype)
     mode = _ad_mode(analytic_jvp)
     if mode is not None:
         op = make_accumulate_op(chunk=chunk, variant=variant,
-                                cutoff_cm1=cutoff_cm1, mode=mode)
-        out = op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+                                cutoff_cm1=cutoff_cm1, mode=mode,
+                                has_chi=kl.chi_b is not None)
+        if kl.chi_b is None:
+            out = op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps)
+        else:
+            out = op(nu_off, kl.nu_c, kl.scale_x, kl.y, kl.amps, kl.chi_b)
     else:
         out = accumulate_jnp(nu_off, kl, chunk=chunk, variant=variant,
                              cutoff_cm1=cutoff_cm1)

@@ -1021,8 +1021,8 @@ def static_windows_T(nu_host: np.ndarray, nu0_host: np.ndarray, *,
 
 
 def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
-                            y_ref, ct_ref, oK_ref, oKx_ref, oxKx_ref,
-                            oKy_ref, *, cutoff: Optional[float]):
+                            y_ref, *rest, cutoff: Optional[float],
+                            has_chi: bool = False):
     """One (line-block, nu-tile) step of the TRANSPOSED basis contraction:
 
         o*[r, l] += sum_p ct[r, p] * Basis*[p, l]
@@ -1033,6 +1033,8 @@ def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
     across its tile window.  nu_ref: [TILE_P, 1]; nuc/sx/y_ref:
     [1, BLOCK_L]; ct_ref: [R, TILE_P]; o*_ref: [R, BLOCK_L].
     """
+    chb_ref = rest[0] if has_chi else None
+    ct_ref, oK_ref, oKx_ref, oxKx_ref, oKy_ref = rest[-5:]
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -1055,6 +1057,11 @@ def _basis_transpose_kernel(ntile_ref, starts_ref, nu_ref, nuc_ref, sx_ref,
         y_min = jnp.min(y_ref[:, :])
         s_min = gap * jnp.min(sx_ref[:, :]) + y_min
         K, Kx, xKx, Ky = _basis_tile(x, y, s_min, y_min)
+        if has_chi:
+            # Frozen-chi: scales all basis rows (ops/chi.py).
+            ch = jnp.exp(-chb_ref[:, :] * jnp.maximum(
+                jnp.abs(dnu) - CHI_DELTA1, 0.0))
+            K, Kx, xKx, Ky = K * ch, Kx * ch, xKx * ch, Ky * ch
         if cutoff is not None:
             m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
             K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
@@ -1073,7 +1080,7 @@ def basis_transpose_pallas_jit(nu_grid, nu_c, sx, y, ct,
                                *, tile_p: int = DEFAULT_TILE_P, block_l: int = DEFAULT_BLOCK_L,
                                cutoff_cm1: Optional[float] = 25.0,
                                interpret: bool = False,
-                               windows_T=None):
+                               windows_T=None, chi_b=None):
     """Transposed fused basis contraction, jit-composable (single state).
 
     nu_c/sx/y: [L]; ct: [R, P].  Returns (AbK, AbKx, AbxKx, AbKy), each
@@ -1115,19 +1122,28 @@ def basis_transpose_pallas_jit(nu_grid, nu_c, sx, y, ct,
     def line_map(j, i, ntl, st):
         return (0, j)
 
+    has_chi = chi_b is not None
+    in_specs = [
+        pl.BlockSpec((tile_p, 1), tile_map),
+        pl.BlockSpec((1, block_l), line_map),
+        pl.BlockSpec((1, block_l), line_map),
+        pl.BlockSpec((1, block_l), line_map),
+    ]
+    ins = [nu_pad.reshape(Pp, 1), padl(nu_c, far_line).reshape(1, Lp),
+           padl(sx, 1e6).reshape(1, Lp), padl(y, 1e6).reshape(1, Lp)]
+    if has_chi:
+        in_specs.append(pl.BlockSpec((1, block_l), line_map))
+        ins.append(padl(chi_b, 0.0).reshape(1, Lp))
+    in_specs.append(pl.BlockSpec((R, tile_p), ct_map))
+    ins.append(ct_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks, int(max_tiles)),
-        in_specs=[
-            pl.BlockSpec((tile_p, 1), tile_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((1, block_l), line_map),
-            pl.BlockSpec((R, tile_p), ct_map),
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((R, block_l), lambda j, i, *_: (0, j))] * 4,
     )
-    kern = functools.partial(_basis_transpose_kernel, cutoff=cutoff_cm1)
+    kern = functools.partial(_basis_transpose_kernel, cutoff=cutoff_cm1,
+                             has_chi=has_chi)
     shp = jax.ShapeDtypeStruct((R, Lp), jnp.float32)
     outs = pl.pallas_call(
         kern,
@@ -1135,9 +1151,7 @@ def basis_transpose_pallas_jit(nu_grid, nu_c, sx, y, ct,
         grid_spec=grid_spec,
         compiler_params=_cparams(1, 2),
         interpret=interpret,
-    )(counts, starts, nu_pad.reshape(Pp, 1),
-      padl(nu_c, far_line).reshape(1, Lp), padl(sx, 1e6).reshape(1, Lp),
-      padl(y, 1e6).reshape(1, Lp), ct_pad)
+    )(counts, starts, *ins)
     return tuple(o[:, :L] for o in outs)
 
 

@@ -125,6 +125,7 @@ def make_sharded_oe(
     emissivity: float = 1.0,
     lut=None,
     state_map=None,
+    chi=None,
 ) -> ShardedOE:
     """Build the sharded retrieval callables for a limb scene.
 
@@ -204,7 +205,8 @@ def make_sharded_oe(
             engine=engine, interpret=interpret, nu_halo=nu_halo,
             cia_pairs=cia_pairs, is_limb=is_limb, emissivity=emissivity,
             win_grid=(np.asarray(nu_off) if engine == "pallas" else None),
-            win_lines=(np.asarray(dlp.nu0) if engine == "pallas" else None))
+            win_lines=(np.asarray(dlp.nu0) if engine == "pallas" else None),
+            chi=chi)
     # Static inputs staged once with their mesh layout (cg placeholder is
     # discarded — the retrieval recomputes it from the state every call).
     if is_limb:

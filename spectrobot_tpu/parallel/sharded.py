@@ -95,8 +95,15 @@ def sharded_radiance_fn(
     emissivity: float = 1.0,
     win_grid=None,
     win_lines=None,
+    chi=None,
 ):
     """Build the jitted shard_map radiance function for a mesh.
+
+    ``chi`` = (ops.chi.ChiProfile, row_mask tuple) — the sub-Lorentzian
+    wing correction (ops/chi.py), fully static, so it flows into every
+    layer_tau call inside the body unchanged (owner lines AND halo hops:
+    species_idx rides PER_LINE_FIELDS through the ppermute, so permuted
+    neighbour lines compute their own chi slopes locally).
 
     Returns f(nu_grid, lines, cg, nlte, I_bg, cia_tables, cia_tgrid) -> I
     [R, P] with R % mesh['ray'] == 0, P % mesh['nu'] == 0, L % mesh['line']
@@ -135,7 +142,7 @@ def sharded_radiance_fn(
     n_nu = mesh.shape["nu"]
     n_line = mesh.shape["line"]
     tau_kw = dict(variant=variant, cutoff_cm1=cutoff_cm1, chunk=chunk,
-                  engine=engine, interpret=interpret)
+                  engine=engine, interpret=interpret, chi=chi)
 
     if nu_halo:
         right = [(i, (i + 1) % n_nu) for i in range(n_nu)]

@@ -120,6 +120,39 @@ def test_chi_engine_parity_primal_and_tangent(scene):
                                atol=float(jnp.abs(tj).max()) * 1e-6)
 
 
+def test_chi_rev_mode_engine_parity(scene):
+    """Reverse-mode (custom VJP / in-kernel transposed basis) carries chi
+    with the same frozen-chi convention: grads agree across engines and
+    match the forward-mode tangent via the dot-product identity."""
+    dl, prof, _, _ = scene
+    dl32 = device_lines_from_linelist(co2_15um_band(j_max=10), [(2, 1)],
+                                      dtype=jnp.float32)
+    kl = line_kernel_inputs(dl32, 210.0, 500.0, 480.0, chi=(prof, (True,)))
+    nu = jnp.asarray(np.linspace(640.0, 700.0, 512) - float(dl32.nu_ref),
+                     jnp.float32)
+    mk = lambda eng: make_accumulate_op(engine=eng, mode="rev",
+                                        has_chi=True, cutoff_cm1=25.0,
+                                        interpret=eng == "pallas")
+    args = (kl.nu_c, kl.scale_x, kl.y, kl.amps, kl.chi_b)
+    loss = lambda op: (lambda nc, sx, y, am, cb:
+                       jnp.sum(op(nu, nc, sx, y, am, cb) ** 2))
+    g_j = jax.grad(loss(mk("jnp")), argnums=(0, 1, 2, 3))(*args)
+    g_p = jax.grad(loss(mk("pallas")), argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_j, g_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=float(jnp.abs(a).max()) * 1e-5)
+    # fwd/rev consistency: <grad, v> == d/dt loss(x + t v).
+    op_f = make_accumulate_op(engine="jnp", mode="fwd", has_chi=True,
+                              cutoff_cm1=25.0)
+    v = tuple(jnp.full_like(a, 1e-4) for a in args[:4])
+    _, jvp_val = jax.jvp(
+        lambda nc, sx, y, am: jnp.sum(op_f(nu, nc, sx, y, am,
+                                           kl.chi_b) ** 2),
+        args[:4], v)
+    dot = sum(jnp.vdot(g, vi) for g, vi in zip(g_j, v))
+    np.testing.assert_allclose(float(dot), float(jvp_val), rtol=1e-4)
+
+
 def test_chi_species_masking():
     """chi applies ONLY to the profile's species: CO lines are untouched
     while CO2 lines are wing-suppressed, in one mixed line sum."""
@@ -184,11 +217,34 @@ save_optics = true
         main(["forward", str(cfg), "-o", "lines.chi=nope"])
     with pytest.raises(ValueError, match="cutoff"):
         main(["forward", str(cfg), "-o", "compute.cutoff_cm1=40.0"])
-    with pytest.raises(ValueError, match="lines.chi"):
-        main(["forward", str(cfg), "-o", "compute.use_lut=true"])
-    with pytest.raises(ValueError, match="lines.chi"):
-        main(["retrieve", str(cfg), "-o", "compute.mesh_nu=8",
-              "-o", f"run.output_dir={tmp_path}/chi_mesh"])
+    # chi x LUT: the wing correction BAKES into the table (b(T) rides the
+    # lattice T axis), so the LUT forward tracks the direct chi forward to
+    # interpolation error and differs from a chi-off LUT.
+    assert main(["forward", str(cfg), "-o", "compute.use_lut=true",
+                 "-o", "run.save_optics=false",
+                 "-o", f"run.output_dir={tmp_path}/chi_lut"]) == 0
+    assert main(["forward", str(cfg), "-o", "compute.use_lut=true",
+                 "-o", "run.save_optics=false", "-o", "lines.chi=",
+                 "-o", f"run.output_dir={tmp_path}/nochi_lut"]) == 0
+    capsys.readouterr()
+    with np.load(f"{tmp_path}/chi_lut/forward.npz") as z:
+        lut_on = z["values"]
+    with np.load(f"{tmp_path}/nochi_lut/forward.npz") as z:
+        lut_off = z["values"]
+    np.testing.assert_allclose(lut_on, on, rtol=0.05,
+                               atol=0.02 * on.max())
+    assert np.max(np.abs(lut_on - lut_off)) > 1e-5 * lut_off.max()
+    # chi x MESH works and matches the single-device chi forward exactly
+    # (the static chi tuple flows into every layer_tau call in the
+    # shard_map body; f64 jnp engine both sides).
+    if len(jax.devices()) >= 8:
+        assert main(["forward", str(cfg), "-o", "compute.mesh_nu=8",
+                     "-o", "run.save_optics=false",
+                     "-o", f"run.output_dir={tmp_path}/chi_mesh"]) == 0
+        capsys.readouterr()
+        with np.load(f"{tmp_path}/chi_mesh/forward.npz") as z:
+            mesh_on = z["values"]
+        np.testing.assert_allclose(mesh_on, on, rtol=1e-10)
 
 
 def test_cli_chi_retrieval_converges(tmp_path, capsys):
