@@ -376,24 +376,32 @@ def bench_roofline(on_tpu: bool, kernel_rate: float) -> None:
     from spectrobot_tpu.ops.pallas_opacity import DEFAULT_SUB_BLOCKS
     from spectrobot_tpu.ops.strengths import device_lines_from_linelist
 
-    # 1. Empirical VPU peak: a K-deep fused multiply-add chain on a VMEM/
-    #    vector-register-friendly f32 array (XLA fuses it into one
-    #    elementwise kernel; 2 flops per element per link).
-    N, K = (1 << 23, 64) if on_tpu else (1 << 16, 8)
+    # 1. Empirical VPU peak: K-deep fused multiply-add chains on an f32
+    #    array (XLA fuses each chain into one elementwise kernel; 2 flops
+    #    per element per link).  The ceiling is the MAX over two chain
+    #    depths and several repeats — single-depth single-run measurements
+    #    varied ~15% between bench invocations, which would make the pct
+    #    metric noise-dominated.
+    N = (1 << 22) if on_tpu else (1 << 14)
     a = jnp.full((N,), 1.0000001, jnp.float32)
     b = jnp.full((N,), 1e-9, jnp.float32)
 
-    def fma_chain(x):
-        for _ in range(K):
-            x = x * a + b
-        return x
+    def chain(K):
+        def f(x):
+            for _ in range(K):
+                x = x * a + b
+            return x
+        return f
 
-    n_iter, n_rep = (20, 3) if on_tpu else (1, 1)
-    dt = device_time(fma_chain, jnp.ones((N,), jnp.float32), _perturb_flat,
-                     n_iter, n_rep)
-    vpu_peak = 2.0 * K * N / dt
-    print(f"empirical VPU f32 FMA peak: {vpu_peak / 1e9:.0f} GFLOP/s "
-          f"({K}-deep chain on {N} lanes, device time)", file=sys.stderr)
+    n_iter, n_rep = (10, 5) if on_tpu else (1, 1)
+    vpu_peak = 0.0
+    for K in ((64, 256) if on_tpu else (8,)):
+        dt = device_time(chain(K), jnp.ones((N,), jnp.float32),
+                         _perturb_flat, n_iter, n_rep)
+        vpu_peak = max(vpu_peak, 2.0 * K * N / dt)
+    print(f"empirical VPU f32 FMA ceiling: {vpu_peak / 1e9:.0f} GFLOP/s "
+          f"(max over 64/256-deep chains on {N} lanes, device time)",
+          file=sys.stderr)
 
     # 2. Tier mix + weighted flops/pair for the SAME dense scenario
     #    bench_kernel measured.
@@ -414,21 +422,23 @@ def bench_roofline(on_tpu: bool, kernel_rate: float) -> None:
     print(f"kernel roofline: {flops_per_pair:.0f} flops/pair "
           f"(mix far {mix['far']:.2f} mid {mix['mid']:.2f} "
           f"near3 {mix['near3']:.2f} near4 {mix['near4']:.2f}) -> "
-          f"{kernel_gflops:.0f} GFLOP/s ~= {pct:.0f}% of the measured "
-          f"elementwise ceiling; the SAME pass also runs the MXU "
-          f"reduction + DMA/grid machinery, so a ratio near 1 means the "
-          f"Voigt evaluation is VPU-ISSUE-BOUND (the flop audit carries "
-          f"~+-20% — compiler CSE can emit fewer ops than the source "
-          f"count)", file=sys.stderr)
+          f"{kernel_gflops:.0f} GFLOP/s = {pct:.0f}% of the measured "
+          f"XLA-elementwise mul-add rate.  >= 100% means the kernel runs "
+          f"AT or ABOVE what plain elementwise code reaches on this VPU "
+          f"(Mosaic fuses multiply-adds the XLA chain issues separately; "
+          f"the audit carries ~+-20% compiler-CSE slop) — i.e. the Voigt "
+          f"evaluation is VPU-ISSUE-BOUND; the SAME pass also overlaps "
+          f"the MXU reduction and DMA/grid machinery", file=sys.stderr)
     print(json.dumps({
         "metric": "kernel_roofline_pct_of_vpu_peak",
         "value": pct,
-        "unit": (f"% of the measured VPU f32 mul-add ceiling "
-                 f"({vpu_peak / 1e9:.0f} GFLOP/s, same-chip FMA chain); "
-                 f"flop audit {flops_per_pair:.0f}/pair (+-20%), tier mix "
-                 f"far/mid/near3/near4 = {mix['far']:.2f}/{mix['mid']:.2f}/"
-                 f"{mix['near3']:.2f}/{mix['near4']:.2f}; ~1.0 means "
-                 f"VPU-issue-bound"),
+        "unit": (f"% of the measured XLA-elementwise f32 mul-add rate "
+                 f"({vpu_peak / 1e9:.0f} GFLOP/s, same-chip chain, "
+                 f"ILP-insensitive); flop audit {flops_per_pair:.0f}/pair "
+                 f"(+-20% CSE slop), tier mix far/mid/near3/near4 = "
+                 f"{mix['far']:.2f}/{mix['mid']:.2f}/{mix['near3']:.2f}/"
+                 f"{mix['near4']:.2f}; >= 100% = at/above the elementwise "
+                 f"ceiling (Mosaic emits fused FMAs) = VPU-issue-bound"),
         "vs_baseline": pct / 100.0,
     }))
 

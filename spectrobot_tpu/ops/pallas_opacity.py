@@ -786,7 +786,7 @@ def _basis_batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref,
                             nu_ref[0, 0] - nuc[0, SBL - 1]), 0.0)
             y_min = jnp.min(yv)
             s_min = gap * jnp.min(sxv) + y_min
-            if _ABLATE == "novoigt":
+            if "novoigt" in _ABLATE:
                 K, Kx, xKx, Ky = x, x, x, x
             else:
                 K, Kx, xKx, Ky = _basis_tile(x, y, s_min, y_min)
@@ -798,7 +798,7 @@ def _basis_batch_kernel(nblk_ref, starts_ref, act_ref, nu_ref, nuc_ref,
             if cutoff is not None:
                 m = (jnp.abs(dnu) <= cutoff).astype(x.dtype)
                 K, Kx, xKx, Ky = K * m, Kx * m, xKx * m, Ky * m
-            if _ABLATE == "nodot":
+            if "nodot" in _ABLATE:
                 out_ref[0, :, :] += jnp.sum(K + Kx + xKx + Ky)
                 continue
             dot = lambda C, B: jax.lax.dot_general(

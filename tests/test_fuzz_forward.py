@@ -84,7 +84,9 @@ def test_random_nadir_scene_kirchhoff_bound(seed):
 
 @pytest.mark.parametrize("seed", [7])
 def test_random_scene_engine_agreement(seed):
-    """jnp vs pallas(interpret) engines agree on a random scene."""
+    """jnp vs pallas(interpret) engines agree on a random scene — with
+    the chi wing correction randomly enabled (odd seeds), so the fuzz
+    sweep also exercises the chi kernels' invariants."""
     rng, atm, dl, nu = _random_scene(seed)
     dl32 = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.float32)
@@ -95,9 +97,15 @@ def test_random_scene_engine_agreement(seed):
     cg32 = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.float32)
         if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, cg)
+    chi = None
+    if seed % 2:
+        from spectrobot_tpu.ops.chi import CHI_PROFILES
+        chi = (CHI_PROFILES["co2_mars"], (True,))
     I_jnp = np.asarray(jax.jit(lambda: limb_radiance(
-        nu32, dl32, cg32, chunk=64))())
+        nu32, dl32, cg32, chunk=64, chi=chi))())
     I_pal = np.asarray(jax.jit(lambda: limb_radiance(
-        nu32, dl32, cg32, chunk=64, engine="pallas", interpret=True))())
+        nu32, dl32, cg32, chunk=64, engine="pallas", interpret=True,
+        chi=chi))())
+    assert np.isfinite(I_jnp).all() and (I_jnp >= 0).all()
     np.testing.assert_allclose(I_pal, I_jnp, rtol=5e-5,
                                atol=np.abs(I_jnp).max() * 1e-5)
