@@ -325,16 +325,22 @@ def bench_kernel(on_tpu: bool) -> float:
 
 
 # Per-pair flop counts of the kernel's dispatch tiers, audited from the
-# code (ops/pallas_opacity.py + ops/voigt.py), PRIMAL path, counting one
-# transcendental (exp/sin/cos) as 8 flop-equivalents:
-#   far   (_wr_region1):            ~14   (mul/add/div)
-#   mid   (region1+region2+select): ~55
-#   near3 (w4 regions I-III):      ~165   (3 rational chains + selects)
-#   near4 (full w4 incl cexp):     ~300   (adds P4/Q4 chains + exp,sin,cos)
-# The audit feeds the roofline: achieved GFLOP/s = pairs/s x the
-# tier-MIX-weighted flops/pair, compared against the EMPIRICAL VPU f32
-# FMA peak measured on the same chip in the same process.
+# code (ops/pallas_opacity.py + ops/voigt.py), counting one transcendental
+# (exp/sin/cos) as 8 flop-equivalents.  PRIMAL / GRAD (fused basis):
+#   far   (_wr_region1 / _wrg_region1):       ~14 / ~30
+#   mid   (region1+region2+select):           ~55 / ~80
+#   near3 (w4 regions I-III):                ~165 / ~360
+#   near4 (full w4 incl cexp):               ~300 / ~550
+# (+4 pipeline ops per pair every tier pays: dnu, x, broadcast, mask.)
 TIER_FLOPS = {"far": 14.0, "mid": 55.0, "near3": 165.0, "near4": 300.0}
+TIER_FLOPS_GRAD = {"far": 30.0, "mid": 80.0, "near3": 360.0, "near4": 550.0}
+
+# Theoretical v5e VPU f32 FMA bound, derived from the PUBLISHED 197
+# TFLOP/s bf16 peak: 4 MXUs x 128x128 MACs x 2 flops -> ~1.5 GHz clock;
+# ONE 8x128-lane FMA unit at that clock = 1.5e9 x 1024 x 2 ~= 3.1 TF f32.
+# (The per-core VPU unit count is not public; a dual-issue VPU would
+# double this — the bracket is stated wherever the bound is quoted.)
+VPU_FMA_BOUND = 3.07e12
 
 
 def _dense_tier_mix(nu_host, nuc_host, sx_min, y_min, tile_p, block_l,
@@ -414,32 +420,121 @@ def bench_roofline(on_tpu: bool, kernel_rate: float) -> None:
     mix = _dense_tier_mix(nu, np.asarray(kl.nu_c, np.float32),
                           float(jnp.min(kl.scale_x)), float(jnp.min(kl.y)),
                           256, 256, DEFAULT_SUB_BLOCKS)
-    # +4 per-pair pipeline ops every tier pays before the rational (dnu,
-    # x = dnu*sx, y broadcast, cutoff/window select).
+    # Two-regime analysis (round-5 measured; SURVEY.md section 14):
+    # the DENSE benchmark is ~99% far tier at only ~18 flops/pair — per-
+    # step machinery, not VPU flops, limits it — so its audit rate lands
+    # near the plain-XLA elementwise rate.  The PRODUCTION fused-Jacobian
+    # mix (~20% near tier at ~550 grad-flops/pair) is flops-dominated:
+    # its audit rate is the honest hardware-efficiency number.
     flops_per_pair = 4.0 + sum(TIER_FLOPS[t] * f for t, f in mix.items())
     kernel_gflops = kernel_rate * flops_per_pair / 1e9
     pct = 100.0 * kernel_gflops * 1e9 / vpu_peak
-    print(f"kernel roofline: {flops_per_pair:.0f} flops/pair "
+    print(f"dense-kernel audit: {flops_per_pair:.0f} flops/pair "
           f"(mix far {mix['far']:.2f} mid {mix['mid']:.2f} "
           f"near3 {mix['near3']:.2f} near4 {mix['near4']:.2f}) -> "
-          f"{kernel_gflops:.0f} GFLOP/s = {pct:.0f}% of the measured "
-          f"XLA-elementwise mul-add rate.  >= 100% means the kernel runs "
-          f"AT or ABOVE what plain elementwise code reaches on this VPU "
-          f"(Mosaic fuses multiply-adds the XLA chain issues separately; "
-          f"the audit carries ~+-20% compiler-CSE slop) — i.e. the Voigt "
-          f"evaluation is VPU-ISSUE-BOUND; the SAME pass also overlaps "
-          f"the MXU reduction and DMA/grid machinery", file=sys.stderr)
+          f"{kernel_gflops:.0f} GFLOP/s = {pct:.0f}% of the plain-XLA "
+          f"elementwise rate (at this LOW intensity the kernel is "
+          f"per-step-machinery-bound, not flops-bound — see the "
+          f"production-mix metric below for the hardware-efficiency "
+          f"number)", file=sys.stderr)
     print(json.dumps({
         "metric": "kernel_roofline_pct_of_vpu_peak",
         "value": pct,
-        "unit": (f"% of the measured XLA-elementwise f32 mul-add rate "
-                 f"({vpu_peak / 1e9:.0f} GFLOP/s, same-chip chain, "
-                 f"ILP-insensitive); flop audit {flops_per_pair:.0f}/pair "
-                 f"(+-20% CSE slop), tier mix far/mid/near3/near4 = "
-                 f"{mix['far']:.2f}/{mix['mid']:.2f}/{mix['near3']:.2f}/"
-                 f"{mix['near4']:.2f}; >= 100% = at/above the elementwise "
-                 f"ceiling (Mosaic emits fused FMAs) = VPU-issue-bound"),
+        "unit": (f"% of the measured plain-XLA elementwise f32 mul-add "
+                 f"rate ({vpu_peak / 1e9:.0f} GFLOP/s, same-chip chain, "
+                 f"ILP-insensitive); DENSE far-tier audit "
+                 f"{flops_per_pair:.0f} flops/pair (+-20% CSE slop) — "
+                 f"machinery-bound regime; the production-mix TFLOP "
+                 f"metric is the flops-bound one"),
         "vs_baseline": pct / 100.0,
+    }))
+
+
+def bench_production_roofline(on_tpu: bool, t_jac: float) -> None:
+    """Hardware-efficiency of the PRODUCTION fused-Jacobian pass: exact
+    evaluated-pair count and dispatch-tier mix of the bench_fused_pallas
+    scenario computed host-side (window tables + geometry-derived active
+    states), grad-tier flop audit, divided by the MEASURED total Jacobian
+    device time.  This is a conservative LOWER BOUND on the Voigt stage's
+    rate (the same measured time also contains the MXU contractions, DMA/
+    grid machinery, and the RT/ILS tangent epilogue — the round-5 ablation
+    isolated the Voigt stage at ~2.3-2.4 TFLOP(audit)/s, ~77% of the
+    one-FMA-unit theoretical bound; SURVEY.md section 14)."""
+    from spectrobot_tpu.data.atmosphere import MARS, mars_standard_atmosphere
+    from spectrobot_tpu.data.synth import random_lines
+    from spectrobot_tpu.forward.geometry import limb_path_cg
+    from spectrobot_tpu.ops.opacity import line_kernel_inputs
+    from spectrobot_tpu.ops.pallas_opacity import (
+        DEFAULT_BLOCK_L, DEFAULT_SUB_BLOCKS, DEFAULT_TILE_P, _block_windows)
+    from spectrobot_tpu.ops.strengths import device_lines_from_linelist
+
+    P, n_lev, n_rays, L = (8192, 32, 20, 2048) if on_tpu else (512, 6, 2, 256)
+    ll = random_lines(L, 600.0, 750.0, seed=3)
+    dl = device_lines_from_linelist(ll, [(2, 1)], dtype=jnp.float32)
+    atm = mars_standard_atmosphere(n_lev=n_lev, z_top=80e3)
+    nu_off = np.asarray(np.linspace(600.0, 750.0, P) - float(dl.nu_ref),
+                        np.float32)
+    ths = jnp.asarray(np.linspace(5e3, 70e3, n_rays), jnp.float32)
+    cg = limb_path_cg(atm, ["CO2"], ths, MARS, 4)
+    act_lay = (np.asarray(cg.u).sum(-1) > 0)          # [R, NL]
+    z = np.asarray(atm.z)
+    zmid = 0.5 * (z[1:] + z[:-1])
+    Tl = np.interp(zmid, z, np.asarray(atm.T))
+    plm = np.exp(np.interp(zmid, z, np.log(np.asarray(atm.p))))
+    nuc = np.asarray(dl.nu0, np.float32)
+    TP, BL, SB = DEFAULT_TILE_P, DEFAULT_BLOCK_L, DEFAULT_SUB_BLOCKS
+    SBL = BL // SB
+    Pp = -(-P // TP) * TP
+    Lp = -(-L // BL) * BL
+    nup = np.full(Pp, nu_off.max() + 1e6, np.float32)
+    nup[:P] = nu_off
+    nucp = np.full(Lp, nuc.max() + 1e7, np.float32)
+    nucp[:L] = nuc
+    st, ct = _block_windows(nup, nucp, TP, BL, 26.0)
+    n_tiles = Pp // TP
+    t_lo = nup.reshape(n_tiles, TP).min(1)
+    t_hi = nup.reshape(n_tiles, TP).max(1)
+    n_sl = Lp // SBL
+    s_lo = nucp.reshape(n_sl, SBL).min(1)
+    s_hi = nucp.reshape(n_sl, SBL).max(1)
+    flops = 0.0
+    pairs = 0.0
+    for li in range(n_lev - 1):
+        kl = line_kernel_inputs(dl, jnp.asarray(Tl[li]),
+                                jnp.asarray(plm[li]))
+        sx_min = float(jnp.min(kl.scale_x))
+        y_min = float(jnp.min(kl.y))
+        w = int(act_lay[:, li].sum())                 # active rays w/ layer
+        if not w:
+            continue
+        for i in range(n_tiles):
+            for b in range(st[i], st[i] + ct[i]):
+                for s in range(b * SB, (b + 1) * SB):
+                    gap = max(max(s_lo[s] - t_hi[i], t_lo[i] - s_hi[s]),
+                              0.0)
+                    smin = gap * sx_min + y_min
+                    tier = ("far" if smin >= 15.0 else
+                            "mid" if smin >= 5.5 else
+                            "near3" if y_min >= 0.9 else "near4")
+                    flops += w * (TIER_FLOPS_GRAD[tier] + 4.0) * TP * SBL
+                    pairs += w * TP * SBL
+    tflops = flops / t_jac / 1e12
+    pct_bound = 100.0 * flops / t_jac / VPU_FMA_BOUND
+    print(f"production-mix roofline: {pairs / 1e9:.2f} G pairs/jac pass, "
+          f"{flops / 1e9:.0f} audit GFLOP -> >= {tflops:.2f} TFLOP/s over "
+          f"the WHOLE measured Jacobian pass = >= {pct_bound:.0f}% of the "
+          f"one-FMA-unit theoretical bound ({VPU_FMA_BOUND / 1e12:.1f} TF; "
+          f"the Voigt stage alone, ablation-isolated, runs ~2x this "
+          f"lower bound)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "fused_jacobian_audit_tflops_lower_bound",
+        "value": tflops,
+        "unit": (f"audit TFLOP/s over the TOTAL measured fused-Jacobian "
+                 f"device time (grad-tier flop audit +-20%; conservative "
+                 f"— the same time also pays MXU/DMA/epilogue; "
+                 f">= {pct_bound:.0f}% of the ~{VPU_FMA_BOUND / 1e12:.1f} "
+                 f"TF one-FMA-unit theoretical v5e VPU bound)"),
+        "vs_baseline": flops / t_jac / VPU_FMA_BOUND,
     }))
 
 
@@ -448,10 +543,11 @@ def main() -> None:
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
     on_tpu = dev.platform == "tpu"
     bench_limb_scan(on_tpu)
-    bench_fused_pallas(on_tpu)
+    _, t_jac = bench_fused_pallas(on_tpu)
     bench_sharded_pallas(on_tpu)
     rate = bench_kernel(on_tpu)
     bench_roofline(on_tpu, rate)
+    bench_production_roofline(on_tpu, t_jac)
     bench_kernel(on_tpu)  # headline metric LAST — the driver's primary capture
 
 
