@@ -12,14 +12,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from golden import numpy_ref
-from spectrobot_tpu.data import tips
 from spectrobot_tpu.data.synth import co2_15um_band, co_fundamental
 from spectrobot_tpu.ops.chi import (
-    CHI_DELTA1, CHI_PROFILES, ChiProfile, chi_factor_np,
+    CHI_DELTA1, CHI_PROFILES, chi_factor_np,
 )
 from spectrobot_tpu.ops.opacity import (
-    KernelLines, accumulate_jnp, line_kernel_inputs, make_accumulate_op,
+    accumulate_jnp, line_kernel_inputs, make_accumulate_op,
 )
 from spectrobot_tpu.ops.strengths import device_lines_from_linelist
 

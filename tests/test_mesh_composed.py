@@ -15,7 +15,6 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spectrobot_tpu.data.atmosphere import MARS
-from spectrobot_tpu.ops.ils import apply_fov
 from spectrobot_tpu.parallel.mesh import make_mesh
 from spectrobot_tpu.parallel.oe import make_sharded_oe
 from spectrobot_tpu.retrieval.oe import OEConfig, retrieve

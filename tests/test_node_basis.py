@@ -21,7 +21,7 @@ import numpy as np
 import pytest
 
 from spectrobot_tpu.retrieval.state import (
-    NodeBasis, build_forward, flatten_state, make_state, node_level_matrix,
+    NodeBasis, build_forward, flatten_state, node_level_matrix,
 )
 
 
